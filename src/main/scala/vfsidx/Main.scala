@@ -1,0 +1,52 @@
+package vfsidx
+
+import org.apache.spark.sql.SparkSession
+import vfsidx.build.IndexBuild
+import vfsidx.corpus.Synth
+import vfsidx.query.Bm25Index
+
+/** spark-submit entry point for the index engine (the reference's CLI
+  * equivalent: `vfs-index index` / `vfs-index search`,
+  * /root/reference/cmd/vfs-index/main.go:332-345,536-597).
+  *
+  * Usage:
+  *   vfsidx.Main build <indexDir> [nDocs]          synthesize corpus + build index
+  *   vfsidx.Main search <indexDir> <query...>      BM25 top-10 (OR)
+  *   vfsidx.Main searchand <indexDir> <query...>   BM25 top-10 (AND intersection)
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName("vfsidx")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args) finally spark.stop()
+  }
+
+  def run(spark: SparkSession, args: Array[String]): Unit = args.toList match {
+    case "build" :: dir :: rest =>
+      val n = rest.headOption.map(_.toLong).getOrElse(10000L)
+      val t0 = System.nanoTime()
+      val docs = Synth.corpus(spark, n)
+      IndexBuild.build(spark, docs, dir)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val nSegs = spark.read.parquet(IndexBuild.segmentsDir(dir)).count()
+      println(f"built index over $n docs in $secs%.1f s (${n / secs}%.0f docs/s), $nSegs segment rows -> $dir")
+    case mode :: dir :: qparts if (mode == "search" || mode == "searchand") && qparts.nonEmpty =>
+      val q = qparts.mkString(" ")
+      val idx = new Bm25Index(spark, dir)
+      val t0 = System.nanoTime()
+      val hits = (if (mode == "search") idx.topKOr(q, 10) else idx.topKAnd(q, 10)).collect()
+      val ms = (System.nanoTime() - t0) / 1e6
+      println(f"query [$q] (${mode.stripPrefix("search")}) -> ${hits.length} hits in $ms%.0f ms")
+      hits.foreach(r => println(f"  doc=${r.getLong(0)}%-8d score=${r.getDouble(1)}%.6f"))
+    case _ =>
+      System.err.println("usage: build <dir> [nDocs] | search <dir> <query...> | searchand <dir> <query...>")
+      sys.exit(2)
+  }
+}

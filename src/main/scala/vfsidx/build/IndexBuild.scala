@@ -1,0 +1,222 @@
+package vfsidx.build
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import vfsidx.codec.VarByte
+import vfsidx.corpus.SourceFile
+import vfsidx.tokenize.Tokenizer
+
+/** One (term, doc) posting emitted by tokenization. */
+final case class Posting(term: String, doc_id: Long, tf: Int, dl: Int)
+
+/** Final inverted-index segment row: one compressed posting list per
+  * (term, shard). `shard` is 0 for tail terms; head terms (df above the salt
+  * threshold) are split by doc_id range so no single reducer, parquet row, or
+  * query task ever owns an unbounded Zipf-head posting list. Mirrors the
+  * reference's merged `KeyRecord` segments with filename key ranges
+  * (/root/reference/column.go:538-584, /root/reference/spec/index.fbs:22-29),
+  * re-expressed as a columnar table with block-max skip metadata. */
+final case class SegmentRow(
+    bucket: Int,
+    term: String,
+    shard: Int,
+    count: Int,
+    postings: Array[Byte],
+    block_first: Array[Long],
+    block_last: Array[Long],
+    block_off: Array[Int],
+    block_max_norm: Array[Float])
+
+final case class DictRow(term: String, df: Long, idf: Double)
+final case class DocStat(doc_id: Long, dl: Int, sha256: String)
+final case class CorpusStats(n_docs: Long, avgdl: Double)
+
+/** Per-partition lineage row (north_rule: "checkpoint-resumable with
+  * per-partition lineage + metrics"). One row per completed unit of work:
+  * ingest batch for the `runs` stage, shuffle bucket for the `segments`
+  * stage. Resume = anti-join of planned units against these rows. */
+final case class LineageRow(
+    stage: String,
+    partition_id: Int,
+    term_first: String,
+    term_last: String,
+    doc_count: Long,
+    n_postings: Long,
+    bytes: Long,
+    elapsed_ms: Long)
+
+/** SPIMI-style inverted-index build, Spark-first.
+  *
+  * Reference lifecycle (SURVEY.md §3.1): tokenize -> per-(key,record) write
+  * files -> background merge into sorted segments, resumable via
+  * file-existence checks (/root/reference/column.go:139-235, record.go:46-82).
+  * Spark restatement — each arrow is a Catalyst-planned stage, the single
+  * `repartitionByRange` shuffle is the only data movement:
+  *
+  *   corpus --flatMap--> postings runs (per ingest batch, resumable)
+  *   runs --groupBy(term)--> dictionary (df, idf)
+  *   runs --repartitionByRange(term, shard) + sortWithinPartitions
+  *        --mapPartitions encode--> segments (varbyte + block-max)
+  *
+  * Skew: terms whose df exceeds `saltThreshold` are sharded by
+  * `doc_id / shardSize` *before* the range shuffle, so a term appearing in
+  * 50% of 10^12 docs becomes ~df/shardSize bounded-size groups spread across
+  * reducers instead of one hot key (north_rule salting requirement).
+  *
+  * Every stage writes plain Parquet in an Iceberg-compatible layout (one dir
+  * per table); `_SUCCESS` markers + lineage rows drive resume. Swapping to
+  * real Iceberg is `writeTo(...)` in [[TableIO]] (no jar in this sandbox —
+  * SURVEY.md §7.0).
+  */
+object IndexBuild {
+
+  val K1 = 1.2
+  val B = 0.75
+
+  final case class BuildConfig(
+      numBatches: Int = 8,         // ingest-batch granularity (stage-1 resume unit)
+      numBuckets: Int = 32,        // merge-shuffle partitions (stage-3 parallelism)
+      saltThreshold: Long = 5000,  // df above this -> shard by doc range
+      shardSize: Long = 4096)      // docs per head-term shard
+
+  object TableIO {
+    def write(df: DataFrame, dir: String): Unit =
+      df.write.mode(SaveMode.Overwrite).parquet(dir)
+    def append(df: DataFrame, dir: String): Unit =
+      df.write.mode(SaveMode.Append).parquet(dir)
+    def done(spark: SparkSession, dir: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+  }
+
+  def runsDir(dir: String, batch: Int) = s"$dir/runs/batch=$batch"
+  def docStatsDir(dir: String, batch: Int) = s"$dir/doc_stats/batch=$batch"
+  def statsDir(dir: String) = s"$dir/stats"
+  def dictDir(dir: String) = s"$dir/dictionary"
+  def segmentsDir(dir: String) = s"$dir/segments"
+  def lineageDir(dir: String) = s"$dir/lineage"
+
+  def tokenize(docs: Dataset[SourceFile]): Dataset[Posting] = {
+    import docs.sparkSession.implicits._
+    docs.flatMap { d =>
+      val (tfs, dl) = Tokenizer.termFreqs(d.content)
+      tfs.iterator.map { case (t, tf) => Posting(t, d.doc_id, tf, dl) }
+    }
+  }
+
+  /** Full (or resumed) build. Idempotent: completed stages/batches are
+    * detected via `_SUCCESS` markers and skipped, mirroring the reference's
+    * dirty-detection resume (/root/reference/record.go:46-82). */
+  def build(spark: SparkSession, docs: Dataset[SourceFile], dir: String,
+            cfg: BuildConfig = BuildConfig()): Unit = {
+    import spark.implicits._
+
+    val nDocs = docs.count()
+    val perBatch = math.max(1L, (nDocs + cfg.numBatches - 1) / cfg.numBatches)
+
+    // ---- stage 1: postings runs + doc stats, one ingest batch at a time ----
+    for (b <- 0 until cfg.numBatches) {
+      val rDir = runsDir(dir, b)
+      if (!TableIO.done(spark, rDir)) {
+        val t0 = System.currentTimeMillis()
+        val lo = b * perBatch
+        val hi = math.min(nDocs, lo + perBatch)
+        // column predicate (not a closure) so a parquet-backed corpus gets
+        // min/max row-group pruning on doc_id
+        val batchDocs = docs.filter($"doc_id" >= lo && $"doc_id" < hi).as[SourceFile]
+        val postings = tokenize(batchDocs).sortWithinPartitions($"term")
+        TableIO.write(postings.toDF(), rDir)
+        TableIO.write(
+          batchDocs.map(d => DocStat(d.doc_id, Tokenizer.termFreqs(d.content)._2, d.sha256)).toDF(),
+          docStatsDir(dir, b))
+        val nPost = spark.read.parquet(rDir).count()
+        TableIO.append(Seq(LineageRow("runs", b, "", "", hi - lo, nPost, 0L,
+          System.currentTimeMillis() - t0)).toDF(), lineageDir(dir))
+      }
+    }
+
+    val allRuns = spark.read.parquet((0 until cfg.numBatches).map(runsDir(dir, _)): _*).as[Posting]
+    val allDocStats = spark.read.parquet((0 until cfg.numBatches).map(docStatsDir(dir, _)): _*).as[DocStat]
+
+    // ---- stage 2: corpus stats + dictionary ----
+    if (!TableIO.done(spark, statsDir(dir))) {
+      val st = allDocStats.agg(count($"doc_id"), avg($"dl")).as[(Long, Double)].head()
+      TableIO.write(Seq(CorpusStats(st._1, st._2)).toDF(), statsDir(dir))
+    }
+    val stats = spark.read.parquet(statsDir(dir)).as[CorpusStats].head()
+
+    if (!TableIO.done(spark, dictDir(dir))) {
+      val n = stats.n_docs.toDouble
+      TableIO.write(
+        allRuns.groupBy($"term").agg(count(lit(1)).as("df"))
+          .select($"term", $"df",
+            log((lit(n) - $"df" + 0.5) / ($"df" + 0.5) + 1.0).as("idf"))
+          .toDF(), dictDir(dir))
+    }
+
+    // ---- stage 3: the one global shuffle — salted range merge to segments ----
+    if (!TableIO.done(spark, segmentsDir(dir))) {
+      val t0 = System.currentTimeMillis()
+      // The Zipf head is tiny by construction (#terms with df > threshold
+      // < totalPostings/threshold), so it broadcast-joins; the tail never
+      // touches the driver.
+      val headDict = spark.read.parquet(dictDir(dir))
+        .filter($"df" > cfg.saltThreshold)
+        .select($"term", lit(true).as("is_head"))
+      val shardSize = cfg.shardSize
+      val avgdl = stats.avgdl
+
+      val sharded = allRuns
+        .join(broadcast(headDict), Seq("term"), "left")
+        .withColumn("shard",
+          when($"is_head", ($"doc_id" / shardSize).cast("int")).otherwise(lit(0)))
+        .select($"term", $"doc_id", $"tf", $"dl", $"shard")
+      val segs = sharded
+        .repartitionByRange(cfg.numBuckets, $"term", $"shard")
+        .sortWithinPartitions($"term", $"shard", $"doc_id")
+        .as[(String, Long, Int, Int, Int)]
+        .mapPartitions { it => encodePartition(it, avgdl) }
+      TableIO.write(segs.toDF(), segmentsDir(dir))
+
+      val lin = spark.read.parquet(segmentsDir(dir))
+        .groupBy($"bucket")
+        .agg(min($"term").as("tf_"), max($"term").as("tl_"),
+          sum($"count").as("np"), sum(length($"postings")).as("bytes"))
+        .as[(Int, String, String, Long, Long)]
+        .collect()
+        .map { case (pid, tf_, tl_, np, bytes) =>
+          LineageRow("segments", pid, tf_, tl_, 0L, np, bytes,
+            System.currentTimeMillis() - t0)
+        }
+      TableIO.append(spark.createDataset(lin.toSeq).toDF(), lineageDir(dir))
+    }
+  }
+
+  /** Group a term+shard+doc_id-sorted partition stream into encoded segment
+    * rows. Bounded memory: a group is at most `df` postings for tail terms
+    * (df <= saltThreshold) or `shardSize` docs for head-term shards. */
+  private def encodePartition(it: Iterator[(String, Long, Int, Int, Int)],
+                              avgdl: Double): Iterator[SegmentRow] = {
+    val bucket = org.apache.spark.TaskContext.getPartitionId()
+    new Iterator[SegmentRow] {
+      private val buf = it.buffered
+      def hasNext: Boolean = buf.hasNext
+      def next(): SegmentRow = {
+        val (term, _, _, _, shard) = buf.head
+        val ids = Array.newBuilder[Long]
+        val tfs = Array.newBuilder[Int]
+        val dls = Array.newBuilder[Int]
+        var n = 0
+        while (buf.hasNext && buf.head._1 == term && buf.head._5 == shard) {
+          val (_, d, tf, dl, _) = buf.next()
+          ids += d; tfs += tf; dls += dl; n += 1
+        }
+        val enc = VarByte.encode(ids.result(), tfs.result(), dls.result(), avgdl, K1, B)
+        SegmentRow(bucket, term, shard, n, enc.bytes,
+          enc.blocks.map(_.firstDoc), enc.blocks.map(_.lastDoc),
+          enc.blocks.map(_.offset), enc.blocks.map(_.maxNorm))
+      }
+    }
+  }
+}

@@ -1,0 +1,147 @@
+package vfsidx.query
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import vfsidx.build.{CorpusStats, IndexBuild, SegmentRow}
+import vfsidx.codec.VarByte
+import vfsidx.tokenize.Tokenizer
+
+final case class Hit(doc_id: Long, score: Double)
+
+/** BM25 top-k over the segmented inverted index.
+  *
+  * This is the upgrade of the reference's trigram-overlap scorer
+  * (`Nears`, /root/reference/search_cond.go:297-381) mandated by north_rule:
+  * real BM25 (k1=1.2, b=0.75, idf = ln((N-df+0.5)/(df+0.5)+1)), rank-identical
+  * to the brute-force oracle [[Oracle]], tie-break (score desc, doc_id asc).
+  *
+  * Execution shape (all Catalyst-planned; `.explain` shows a single scan of
+  * the pruned segment rows, no shuffle until the per-doc score aggregation):
+  *
+  *   1. dictionary lookup for the query terms (tiny collect -> closure map) —
+  *      the reference's count-cache (cache/cache.go:88-120) as a table;
+  *   2. `segments.filter(term isin ...)` — parquet row-group pruning does the
+  *      work of the reference's filename key ranges
+  *      (/root/reference/index_file.go:1572-1594), because segments are
+  *      written sorted by term;
+  *   3. flatMap decode: each (term, shard) blob scores independently in its
+  *      own task — head-term shards parallelize a Zipf-head list instead of
+  *      serializing on it;
+  *   4. groupBy(doc_id).sum — partial (map-side) aggregation is automatic;
+  *   5. orderBy(score desc, doc_id asc).limit(k) — Spark plans
+  *      TakeOrderedAndProject: a bounded per-partition heap + global top-k
+  *      merge, exactly the north_rule bounded-min-heap requirement.
+  *
+  * AND mode adds the reference's posting-intersection semantics (J1,
+  * /root/reference/search_finder.go:120-193): only docs containing *all*
+  * terms, implemented as HAVING count(distinct term) = nTerms — plus
+  * block-range skipping: the rarest term's block [first,last] doc ranges are
+  * broadcast and other terms skip decoding blocks that cannot intersect them.
+  *
+  * Scores are rounded to 9 decimals before ranking so that hash-aggregation
+  * summation order (non-associative doubles) cannot flip a tie between engine
+  * and oracle.
+  */
+class Bm25Index(spark: SparkSession, dir: String) {
+  import spark.implicits._
+
+  lazy val segments: Dataset[SegmentRow] =
+    spark.read.parquet(IndexBuild.segmentsDir(dir)).as[SegmentRow]
+  lazy val stats: CorpusStats =
+    spark.read.parquet(IndexBuild.statsDir(dir)).as[CorpusStats].head()
+  lazy val dictionary: DataFrame = spark.read.parquet(IndexBuild.dictDir(dir))
+
+  private def idfMap(terms: Seq[String]): Map[String, Double] =
+    dictionary.filter($"term".isin(terms: _*))
+      .select($"term", $"idf").as[(String, Double)].collect().toMap
+
+  /** Decoded per-(term,doc) score contributions for the query terms. */
+  private def contributions(terms: Seq[String], idfs: Map[String, Double],
+                            skipRanges: Option[Array[(Long, Long)]] = None,
+                            protectTerm: String = ""): Dataset[(String, Long, Double)] = {
+    val segs = segments.filter($"term".isin(terms: _*))
+    // copy everything the task needs into locals — the closure must not
+    // capture `this` (which holds the SparkSession)
+    val avgdl = stats.avgdl
+    val localIdfs = idfs
+    val ranges = skipRanges
+    val protect = protectTerm
+    segs.flatMap { s =>
+      val idf = localIdfs.getOrElse(s.term, 0.0)
+      val out = Array.newBuilder[(String, Long, Double)]
+      var bi = 0
+      while (bi < s.block_off.length) {
+        val keep = ranges.isEmpty || s.term == protect ||
+          Bm25Index.overlaps(ranges.get, s.block_first(bi), s.block_last(bi))
+        if (keep) {
+          val cnt = VarByte.blockCount(s.count, bi)
+          val (ids, tfs, dls) = VarByte.decodeBlock(s.postings, s.block_off(bi), cnt)
+          var i = 0
+          while (i < cnt) {
+            out += ((s.term, ids(i),
+              idf * VarByte.bm25Norm(tfs(i), dls(i), avgdl, IndexBuild.K1, IndexBuild.B)))
+            i += 1
+          }
+        }
+        bi += 1
+      }
+      out.result()
+    }
+  }
+
+  private def rank(contribs: Dataset[(String, Long, Double)], k: Int,
+                   requireAll: Option[Int]): DataFrame = {
+    val grouped = contribs
+      .toDF("term", "doc_id", "contrib")
+      .groupBy($"doc_id")
+      .agg(round(sum($"contrib"), 9).as("score"), countDistinct($"term").as("nt"))
+    val filtered = requireAll.fold(grouped)(n => grouped.filter($"nt" === n))
+    filtered.select($"doc_id", $"score")
+      .orderBy($"score".desc, $"doc_id".asc)
+      .limit(k)
+  }
+
+  /** Disjunctive (standard BM25) top-k. */
+  def topKOr(query: String, k: Int): DataFrame = {
+    val terms = Tokenizer.codeTokens(query).distinct
+    if (terms.isEmpty) return spark.emptyDataset[Hit].toDF()
+    val idfs = idfMap(terms)
+    rank(contributions(terms, idfs), k, None)
+  }
+
+  /** Conjunctive (reference J1 intersection semantics) top-k with
+    * block-range skipping driven by the rarest term. */
+  def topKAnd(query: String, k: Int): DataFrame = {
+    val terms = Tokenizer.codeTokens(query).distinct
+    if (terms.isEmpty) return spark.emptyDataset[Hit].toDF()
+    val idfs = idfMap(terms)
+    if (idfs.size < terms.size)  // a term is absent from the corpus -> AND is empty
+      return spark.emptyDataset[Hit].toDF()
+    val dfs = dictionary.filter($"term".isin(terms: _*))
+      .select($"term", $"df").as[(String, Long)].collect().toMap
+    val rarest = terms.minBy(t => dfs.getOrElse(t, 0L))
+    // Block metadata of the rarest term: df/128 (first,last) ranges — bounded
+    // and broadcastable (rare by definition). Other terms skip blocks whose
+    // doc range cannot intersect any candidate.
+    val ranges = segments.filter($"term" === rarest)
+      .flatMap(s => s.block_first.zip(s.block_last))
+      .collect().sortBy(_._1)
+    rank(contributions(terms, idfs, Some(ranges), rarest), k, Some(terms.size))
+  }
+}
+
+object Bm25Index {
+  /** Does [first,last] overlap any of the sorted candidate ranges? */
+  def overlaps(ranges: Array[(Long, Long)], first: Long, last: Long): Boolean = {
+    var lo = 0
+    var hi = ranges.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val (f, l) = ranges(mid)
+      if (l < first) lo = mid + 1
+      else if (f > last) hi = mid - 1
+      else return true
+    }
+    false
+  }
+}

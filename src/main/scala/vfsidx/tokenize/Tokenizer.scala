@@ -1,0 +1,88 @@
+package vfsidx.tokenize
+
+/** Tokenization for the full-text index.
+  *
+  * Two modes, matching the reference's two index kinds:
+  *
+  *  - '''code tokens''' — the primary mode for the source-code corpus
+  *    (`input_hint` schema): ASCII identifier/number words, lowercased.
+  *    Divergence from the reference documented in SURVEY.md §7.4(4): the
+  *    reference silently drops strings shorter than 3 runes
+  *    (/root/reference/util.go:65-67); we index 1-2 char identifiers as whole
+  *    terms (they are real code tokens: `i`, `fn`, `db`).
+  *
+  *  - '''trigram keys''' — exact functional parity with the reference's
+  *    48-bit rune-trigram encoding `EncodeTri`/`DecodeTri`
+  *    (/root/reference/util.go:60-83): sliding window of 3 Unicode code
+  *    points, each packed as 4 hex digits. Pinned against the reference's own
+  *    test vectors (/root/reference/vfsindex_internal_test.go:707-718,
+  *    /root/reference/vfsindex_test.go:305-312) in TokenizerSpec.
+  *
+  * Pure functions (no Spark deps) so Catalyst-planned typed transforms
+  * (`Dataset.flatMap`) can call them from codegen'd stages.
+  */
+object Tokenizer {
+
+  private val wordRe = "[A-Za-z0-9_]+".r
+
+  /** Lowercased identifier/number tokens of a source-code document. */
+  def codeTokens(content: String): Seq[String] =
+    wordRe.findAllIn(content).map(_.toLowerCase).toSeq
+
+  /** (term -> tf) map plus document length (total token count). */
+  def termFreqs(content: String): (Map[String, Int], Int) = {
+    var dl = 0
+    val m = scala.collection.mutable.HashMap.empty[String, Int]
+    val it = wordRe.findAllIn(content)
+    while (it.hasNext) {
+      val t = it.next().toLowerCase
+      dl += 1
+      m.update(t, m.getOrElse(t, 0) + 1)
+    }
+    (m.toMap, dl)
+  }
+
+  /** Reference-parity trigram encoding: 3 code points -> hex string
+    * "%04x%04x%04x" (/root/reference/util.go:60-74). Strings shorter than 3
+    * code points yield an empty result (the reference's silent-drop rule,
+    * pinned by /root/reference/vfsindex_test.go:149-159). */
+  def encodeTri(s: String): Seq[String] = {
+    val cps = s.codePoints().toArray
+    if (cps.length < 3) Seq.empty
+    else (0 to cps.length - 3).map(i => f"${cps(i)}%04x${cps(i + 1)}%04x${cps(i + 2)}%04x")
+  }
+
+  /** Trigram hex string -> 48-bit key (reference TriKeys,
+    * /root/reference/search_cond.go:115-135). Keys longer than 12 hex digits
+    * (supplementary-plane runes) are dropped, mirroring the reference's
+    * ParseUint(16,64) failure path. */
+  def triKeys(s: String): Seq[Long] =
+    encodeTri(s).flatMap { hexs =>
+      if (hexs.length > 16) None
+      else Some(java.lang.Long.parseUnsignedLong(hexs, 16))
+    }
+
+  /** 48-bit key -> 3-rune string (reference DecodeTri,
+    * /root/reference/util.go:76-83). */
+  def decodeTri(v: Long): String = {
+    val sb = new StringBuilder(3)
+    var i = 4
+    while (i > -1) {
+      sb.append(((v >> (i * 8)) & 0xffff).toChar)
+      i -= 2
+    }
+    sb.toString
+  }
+
+  /** Space-split then trigram keys (reference str2keys,
+    * /root/reference/search_cond.go:538-545). */
+  def str2keys(s: String): Seq[Long] =
+    s.split(' ').toSeq.flatMap(triKeys)
+
+  /** Word shingles for near-dup detection (n consecutive whitespace tokens). */
+  def shingles(text: String, n: Int): Seq[String] = {
+    val ws = text.split("\\s+").filter(_.nonEmpty)
+    if (ws.length < n) Seq.empty
+    else (0 to ws.length - n).map(i => ws.slice(i, i + n).mkString(" "))
+  }
+}

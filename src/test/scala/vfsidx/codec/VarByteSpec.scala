@@ -1,0 +1,86 @@
+package vfsidx.codec
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class VarByteSpec extends AnyFunSuite {
+
+  /** Deterministic seeded property loop (scalatestplus bridge is not on the
+    * offline classpath; a fixed seed is also more reproducible). */
+  private def randomPostings(rng: scala.util.Random): (Array[Long], Array[Int], Array[Int]) = {
+    val n = rng.nextInt(1000)
+    val ids = new Array[Long](n)
+    val tfs = new Array[Int](n)
+    val dls = new Array[Int](n)
+    var prev = 0L
+    var i = 0
+    while (i < n) {
+      prev += 1 + rng.nextInt(1 << 20)
+      ids(i) = prev
+      tfs(i) = 1 + rng.nextInt(500)
+      dls(i) = 1 + rng.nextInt(10000)
+      i += 1
+    }
+    (ids, tfs, dls)
+  }
+
+  test("decode(encode(xs)) == xs for 200 random sorted posting lists") {
+    val rng = new scala.util.Random(42)
+    for (_ <- 0 until 200) {
+      val (ids, tfs, dls) = randomPostings(rng)
+      val enc = VarByte.encode(ids, tfs, dls, avgdl = 100.0)
+      val (i2, t2, d2) = VarByte.decode(enc.bytes, enc.count)
+      assert(i2.toSeq == ids.toSeq)
+      assert(t2.toSeq == tfs.toSeq)
+      assert(d2.toSeq == dls.toSeq)
+    }
+  }
+
+  test("per-block decode reproduces full decode") {
+    val rng = new scala.util.Random(7)
+    for (_ <- 0 until 100) {
+      val (ids, tfs, dls) = randomPostings(rng)
+      val enc = VarByte.encode(ids, tfs, dls, avgdl = 100.0)
+      val all = enc.blocks.zipWithIndex.flatMap { case (b, bi) =>
+        val cnt = VarByte.blockCount(enc.count, bi)
+        val (i2, _, _) = VarByte.decodeBlock(enc.bytes, b.offset, cnt)
+        i2
+      }
+      assert(all.toSeq == ids.toSeq)
+    }
+  }
+
+  test("block metadata covers exactly the docs of the block") {
+    val ids = (1L to 300L).toArray
+    val tfs = Array.fill(300)(2)
+    val dls = Array.fill(300)(50)
+    val enc = VarByte.encode(ids, tfs, dls, avgdl = 50.0)
+    assert(enc.blocks.length == 3) // 128 + 128 + 44
+    assert(enc.blocks(0).firstDoc == 1L && enc.blocks(0).lastDoc == 128L)
+    assert(enc.blocks(1).firstDoc == 129L && enc.blocks(1).lastDoc == 256L)
+    assert(enc.blocks(2).firstDoc == 257L && enc.blocks(2).lastDoc == 300L)
+    val norm = VarByte.bm25Norm(2, 50, 50.0, 1.2, 0.75).toFloat
+    assert(enc.blocks.forall(b => math.abs(b.maxNorm - norm) < 1e-6))
+  }
+
+  test("block max-norm upper-bounds every posting in the block") {
+    val rng = new scala.util.Random(11)
+    for (_ <- 0 until 50) {
+      val (ids, tfs, dls) = randomPostings(rng)
+      val enc = VarByte.encode(ids, tfs, dls, avgdl = 500.0)
+      enc.blocks.zipWithIndex.foreach { case (b, bi) =>
+        val cnt = VarByte.blockCount(enc.count, bi)
+        val (_, t2, d2) = VarByte.decodeBlock(enc.bytes, b.offset, cnt)
+        var i = 0
+        while (i < cnt) {
+          assert(VarByte.bm25Norm(t2(i), d2(i), 500.0, 1.2, 0.75) <= b.maxNorm + 1e-6)
+          i += 1
+        }
+      }
+    }
+  }
+
+  test("empty list encodes to empty") {
+    val enc = VarByte.encode(Array.empty, Array.empty, Array.empty, 1.0)
+    assert(enc.bytes.isEmpty && enc.blocks.isEmpty && enc.count == 0)
+  }
+}

@@ -1,0 +1,96 @@
+package vfsidx.query
+
+import org.apache.spark.sql.DataFrame
+import vfsidx.SparkTestBase
+import vfsidx.build.IndexBuild
+import vfsidx.corpus.Synth
+
+/** End-to-end: build the index over the deterministic synthetic corpus, then
+  * require the indexed BM25 top-k to be rank-identical (docIDs and scores) to
+  * the brute-force oracle on the reference query set (FIXTURES.md §4). */
+class Bm25Spec extends SparkTestBase {
+  import spark.implicits._
+
+  private val nDocs = 1200L
+  private lazy val docs = Synth.corpus(spark, nDocs, partitions = 8).cache()
+  private lazy val dir = {
+    val d = tmpDir("bm25idx")
+    // low salt threshold so head terms actually shard in a 1200-doc corpus
+    IndexBuild.build(spark, docs, d,
+      IndexBuild.BuildConfig(numBatches = 4, numBuckets = 8,
+        saltThreshold = 300, shardSize = 256))
+    d
+  }
+  private lazy val index = new Bm25Index(spark, dir)
+
+  private def rows(df: DataFrame): Seq[(Long, Double)] =
+    df.as[(Long, Double)].collect().toSeq
+
+  private def assertRankIdentical(q: String, k: Int = 10): Unit = {
+    assert(rows(index.topKOr(q, k)) == rows(Oracle.topKOr(spark, docs, q, k)), s"OR: $q")
+    assert(rows(index.topKAnd(q, k)) == rows(Oracle.topKAnd(spark, docs, q, k)), s"AND: $q")
+  }
+
+  test("q1: single rare term (df=1 needle) — point lookup") {
+    val got = rows(index.topKOr("needle_17", 10))
+    assert(got.map(_._1) == Seq(17L))
+    assertRankIdentical("needle_17")
+  }
+
+  test("q2: single head term (df≈50%) — salted shards score correctly") {
+    assertRankIdentical("the")
+  }
+
+  test("q3: three medium terms — multi-term scoring") {
+    assertRankIdentical("index merge search")
+  }
+
+  test("q4: two rare + one head — skewed lists") {
+    assertRankIdentical("needle_5 needle_800 the")
+  }
+
+  test("q5: absent term — empty result") {
+    assert(rows(index.topKOr("zzzqqqxxyy", 10)).isEmpty)
+    assert(rows(index.topKAnd("zzzqqqxxyy the", 10)).isEmpty)
+  }
+
+  test("q6: multi-byte query tokens") {
+    // Japanese comment lines tokenize through the ASCII identifier rule; the
+    // trigram mode is pinned separately in TokenizerSpec. Here: a mixed query.
+    assertRankIdentical("doc needle_3")
+  }
+
+  test("q7: five terms, k=10 with many candidates — bounded heap + global merge") {
+    assertRankIdentical("index merge search query record", k = 10)
+  }
+
+  test("q8: repeated query term dedups (tf semantics pinned)") {
+    val a = rows(index.topKOr("int int", 10))
+    val b = rows(index.topKOr("int", 10))
+    assert(a == b)
+  }
+
+  test("head terms were actually sharded (skew handling exercised)") {
+    val seg = spark.read.parquet(IndexBuild.segmentsDir(dir))
+    val shards = seg.filter($"term" === "the").count()
+    assert(shards > 1, "expected head term 'the' split into multiple doc-range shards")
+  }
+
+  test("sha256 fidelity: hits joined back to corpus match stored hashes") {
+    val hits = index.topKOr("index merge", 20)
+    val joined = hits.join(docs.toDF(), "doc_id")
+      .select($"doc_id", $"content", $"sha256").as[(Long, String, String)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (_, content, sha) =>
+      assert(Synth.sha256Hex(content) == sha)
+    }
+  }
+
+  test("dictionary df equals distinct docs per term") {
+    val dict = spark.read.parquet(IndexBuild.dictDir(dir))
+    val fromRuns = Oracle.postings(docs).groupBy($"term").count()
+    val mismatch = dict.join(fromRuns, "term")
+      .filter($"df" =!= $"count").count()
+    assert(mismatch == 0)
+  }
+}
