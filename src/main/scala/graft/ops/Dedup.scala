@@ -1,0 +1,170 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import vfsidx.tokenize.Tokenizer
+
+/** Deduplication operators for a training-data pipeline: exact (hash
+  * groupBy), n-gram Jaccard, MinHash+LSH banding, SimHash. The hash
+  * primitive everywhere is md5 — available identically in Spark and DuckDB,
+  * so even MinHash signatures are engine-portable and SQL-oracle-checkable.
+  *
+  * Scale shapes:
+  *  - exact dedup: one shuffle on the content hash (map-side combine);
+  *  - MinHash LSH: docs -> shingles -> signatures (narrow) -> explode bands
+  *    -> shuffle on band key (bounded by band cardinality, no O(n^2));
+  *  - SimHash: narrow per-doc bit voting, one groupBy(doc, bit) + one
+  *    groupBy(doc) — never pairs anything.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  val ShingleN = 3
+  val NumHashes = 12      // minhash signature length
+  val BandRows = 3        // rows per LSH band -> 4 bands
+  val JaccardThreshold = 0.12   // LSH verify threshold (pair space)
+  val ProbeThreshold = 0.015    // probe-query threshold (random corpus: max ≈ 0.026)
+  val ProbeDoc = 0L
+
+  /** Exact dedup: group by content hash, keep the smallest doc_id. */
+  def exact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .groupBy(md5($"text").as("h"))
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"h")
+  }
+
+  /** Distinct word-n-gram shingles per doc (typed flatMap). */
+  private def shingleDF(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        Tokenizer.shingles(text, ShingleN).distinct.map(sh => (id, sh))
+      }.toDF("doc_id", "sh")
+  }
+
+  /** n-gram Jaccard similarity of every doc against a probe doc (linear,
+    * not quadratic — the all-pairs variant is [[minhashLsh]]). */
+  def jaccardProbe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = shingleDF(s, dir).cache()
+    val probe = sh.filter($"doc_id" === ProbeDoc).select($"sh")
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val probeSize = sizes.filter($"doc_id" === ProbeDoc).select($"n_sh".as("n_probe"))
+    val inter = sh.filter($"doc_id" =!= ProbeDoc)
+      .join(probe, "sh")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_inter"))
+    inter.join(sizes, "doc_id").crossJoin(broadcast(probeSize))
+      .withColumn("jac", round($"n_inter" / ($"n_sh" + $"n_probe" - $"n_inter"), 6))
+      .filter($"jac" >= ProbeThreshold)
+      .select($"doc_id", $"jac")
+      .orderBy($"doc_id")
+  }
+
+  /** MinHash signature entry i of a doc = min over its shingles of
+    * md5(i || ':' || shingle) (lexicographic min of hex strings — portable
+    * across engines). LSH: concat [[BandRows]] signature entries per band,
+    * md5 -> band key; docs sharing a band key are candidate pairs; verify
+    * candidates with exact Jaccard. Returns verified near-dup pairs. */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = shingleDF(s, dir).cache()
+    // (doc_id, i, minhash_i)
+    val hashIdx = (0 until NumHashes).map(lit(_))
+    val sig = sh
+      .select($"doc_id", explode(array(hashIdx: _*)).as("i"), $"sh")
+      .withColumn("h", md5(concat($"i".cast("string"), lit(":"), $"sh")))
+      .groupBy($"doc_id", $"i").agg(min($"h").as("mh"))
+    val nBands = NumHashes / BandRows
+    val bands = sig
+      .withColumn("band", ($"i" / BandRows).cast("int"))
+      .groupBy($"doc_id", $"band")
+      .agg(md5(concat_ws("|", sort_array(collect_list(struct($"i", $"mh"))).getField("mh"))).as("bkey"))
+    val cand = bands.as("a").join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .distinct()
+    // verify candidates with exact Jaccard
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.toDF("d1", "sh"), "d1")
+      .join(sh.toDF("d2", "sh"), Seq("d2", "sh"))
+      .groupBy($"d1", $"d2").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.toDF("d1", "n1"), "d1")
+      .join(sizes.toDF("d2", "n2"), "d2")
+      .withColumn("jac", round($"n_inter" / ($"n1" + $"n2" - $"n_inter"), 6))
+      .filter($"jac" >= JaccardThreshold)
+      .select($"d1", $"d2", $"jac")
+      .orderBy($"d1", $"d2")
+  }
+
+  /** Portable 16-bit SimHash: bit j of md5(word) (hex-digit arithmetic only,
+    * so DuckDB computes the identical value); per-doc majority vote over all
+    * word occurrences. */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = docs(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .withColumn("h4", substring(md5($"w"), 1, 4))
+    val bits = (0 until 16).map { j =>
+      expr(s"(shiftright(instr('0123456789abcdef', substring(h4, ${1 + j / 4}, 1)) - 1, ${3 - j % 4}) & 1)")
+        .cast("long").as(s"b$j")
+    }
+    val voted = w.select(($"doc_id" +: bits): _*)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n"),
+        (0 until 16).map(j => sum(col(s"b$j")).as(s"s$j")): _*)
+    val sim = (0 until 16).map { j =>
+      when(col(s"s$j") * 2 > col("n"), lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    voted.select($"doc_id", sim.cast("int").as("simhash")).orderBy($"doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (exact _),
+    "dedup_jaccard_probe" -> (jaccardProbe _),
+    "dedup_minhash_lsh" -> (minhashLsh _),
+    "dedup_simhash" -> (simhash _))
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_jaccard_probe" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+         |  FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) t
+         |  WHERE len(ws) >= 3),
+         |q AS (SELECT s FROM sh WHERE doc_id = $ProbeDoc),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT doc_id, count(*) AS c FROM sh JOIN q USING (s)
+         |  WHERE doc_id <> $ProbeDoc GROUP BY 1)
+         |SELECT i.doc_id,
+         |  round(c * 1.0 / (sz.n + (SELECT n FROM sz WHERE doc_id = $ProbeDoc) - c), 6) AS jac
+         |FROM inter i JOIN sz ON i.doc_id = sz.doc_id
+         |WHERE c * 1.0 / (sz.n + (SELECT n FROM sz WHERE doc_id = $ProbeDoc) - c) >= $ProbeThreshold
+         |ORDER BY i.doc_id""".stripMargin,
+    "dedup_simhash" ->
+      """WITH w AS (
+        |  SELECT doc_id, substr(md5(unnest(string_split(text, ' '))), 1, 4) AS h4
+        |  FROM documents),
+        |bits AS (
+        |  SELECT doc_id,
+        |    j,
+        |    ((strpos('0123456789abcdef', substr(h4, 1 + j // 4, 1)) - 1) >> (3 - j % 4)) & 1 AS b
+        |  FROM w, LATERAL (SELECT unnest(generate_series(0, 15)) AS j) t),
+        |voted AS (
+        |  SELECT doc_id, j, CASE WHEN sum(b) * 2 > count(*) THEN 1 ELSE 0 END AS bit
+        |  FROM bits GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(bit * (1 << j)) AS INT) AS simhash
+        |FROM voted GROUP BY 1 ORDER BY 1""".stripMargin)
+  // dedup_minhash_lsh: no SQL oracle (banding is not reasonably expressible);
+  // differential-tested in DedupSpec against exact all-pairs Jaccard.
+}

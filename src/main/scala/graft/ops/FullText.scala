@@ -1,0 +1,173 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import vfsidx.build.IndexBuild
+import vfsidx.corpus.{SourceFile, Synth}
+import vfsidx.query.Bm25Index
+import vfsidx.tokenize.Tokenizer
+
+/** Full-text operators over the driver's `documents` table, answered by the
+  * REAL vfsidx inverted index (built once per sf dir, cached) and
+  * cross-checked against DuckDB SQL oracles computing the same thing by
+  * brute force. This is the reference's whole reason to exist (equality /
+  * substring / AND search + similarity scoring, SURVEY.md §2.2-2.4),
+  * upgraded to BM25 per north_rule.
+  *
+  * `documents.text` is space-separated lowercase words, so our code
+  * tokenizer agrees exactly with DuckDB's `string_split(text, ' ')` —
+  * making the index itself SQL-oracle-checkable.
+  */
+object FullText {
+
+  val Bm25Query = "data query merge"
+  val ContainsNeedle = "the batch"
+  val CountTerm = "merge"
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def docs(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** documents -> SourceFile-shaped corpus for the index builder. */
+  private def asCorpus(s: SparkSession, dir: String) = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id", $"text", $"lang")
+      .as[(Long, String, String)]
+      .map { case (id, text, lang) =>
+        SourceFile(id, "documents", s"doc/$id", "", lang, text, Synth.sha256Hex(text))
+      }
+  }
+
+  /** Build (or reuse) the inverted index for this sf dir. */
+  def index(s: SparkSession, dir: String): Bm25Index = {
+    val idxDir = cache.computeIfAbsent(dir, { d =>
+      val out = java.nio.file.Files.createTempDirectory("graft_ftidx_").toString
+      IndexBuild.build(s, asCorpus(s, d), out,
+        IndexBuild.BuildConfig(numBatches = 2, numBuckets = 8,
+          saltThreshold = 200, shardSize = 512))
+      out
+    })
+    new Bm25Index(s, idxDir)
+  }
+
+  /** BM25 top-10 through the index (dictionary lookup -> pruned segment
+    * scan -> decode -> score -> bounded-heap top-k). Oracle: brute-force
+    * BM25 in DuckDB SQL. Both sides rank by round(score,9) with
+    * (score desc, doc_id asc) tie-break and emit round(score,4). */
+  def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    index(s, dir).topKOr(Bm25Query, 10)
+      .select($"doc_id", round($"score", 4).as("score"))
+  }
+
+  /** The reference's dictionary/count surface (A2 CountOfKey,
+    * /root/reference/search_cond.go:176-215): df per term from the index's
+    * dictionary table — a direct SQL-checkable correctness probe of the
+    * inverted index itself. */
+  def dictionaryTop(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    index(s, dir).dictionary
+      .select($"term", $"df")
+      .orderBy($"df".desc, $"term".asc)
+      .limit(25)
+  }
+
+  /** Substring search: trigram-key AND intersection (reference P3/P5
+    * semantics, /root/reference/search_finder.go:120-193) + containment
+    * recheck, so results equal true substring match. */
+  def trigramSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val needle = ContainsNeedle
+    val keys = Tokenizer.triKeys(needle)
+    val nKeys = keys.size
+    val d = docs(s, dir).select($"doc_id", $"text").as[(Long, String)]
+    val grams = d.flatMap { case (id, text) =>
+      Tokenizer.triKeys(text).distinct.map(k => (id, k))
+    }.toDF("doc_id", "gram")
+    val candidates = grams
+      .filter($"gram".isin(keys: _*))
+      .groupBy($"doc_id").agg(countDistinct($"gram").as("ng"))
+      .filter($"ng" === nKeys)
+      .select($"doc_id")
+    candidates.join(docs(s, dir), "doc_id")
+      .filter($"text".contains(needle))   // recheck: trigram-AND is necessary, not sufficient
+      .select($"doc_id")
+      .orderBy($"doc_id")
+  }
+
+  /** Count of matches for one term (A1 Count, /root/reference/search_finder.go:325-332). */
+  def countTerm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .filter(array_contains(split($"text", " "), CountTerm))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** First/Last match in doc order (W2, /root/reference/search_finder.go:334-371). */
+  def firstLast(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .filter(array_contains(split($"text", " "), CountTerm))
+      .agg(min($"doc_id").as("first_id"), max($"doc_id").as("last_id"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Cross-column AND (J2: string predicate && numeric range,
+    * /root/reference/search_cond.go:146-168). */
+  def crossColumn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .filter(array_contains(split($"text", " "), CountTerm) &&
+        $"n_chars" >= 300 && $"n_chars" < 600)
+      .select($"doc_id", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ft_bm25_topk" -> (bm25TopK _),
+    "ft_dictionary" -> (dictionaryTop _),
+    "ft_trigram_search" -> (trigramSearch _),
+    "ft_count_term" -> (countTerm _),
+    "ft_first_last" -> (firstLast _),
+    "ft_cross_column" -> (crossColumn _))
+
+  private val bm25OracleFmt =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+      |stats AS (SELECT avg(dl) AS avgdl, (SELECT count(*) FROM documents) AS n FROM dl),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |q AS (SELECT unnest([%QTERMS%]) AS term),
+      |sc AS (
+      |  SELECT tf.doc_id,
+      |    sum(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+      |        * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+      |  FROM tf JOIN q USING (term) JOIN df USING (term)
+      |       JOIN dl ON tf.doc_id = dl.doc_id, stats
+      |  GROUP BY 1)
+      |SELECT doc_id, round(round(score, 9), 4) AS score FROM sc
+      |ORDER BY round(score, 9) DESC, doc_id ASC LIMIT 10""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "ft_bm25_topk" -> bm25OracleFmt.replace("%QTERMS%",
+      Bm25Query.split(' ').map(t => s"'$t'").mkString(", ")),
+    "ft_dictionary" ->
+      """SELECT term, count(DISTINCT doc_id) AS df
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t
+        |GROUP BY 1 ORDER BY df DESC, term ASC LIMIT 25""".stripMargin,
+    "ft_trigram_search" ->
+      s"""SELECT doc_id FROM documents WHERE contains(text, '$ContainsNeedle') ORDER BY doc_id""",
+    "ft_count_term" ->
+      s"""SELECT count(*) AS n FROM documents
+         |WHERE list_contains(string_split(text, ' '), '$CountTerm')""".stripMargin,
+    "ft_first_last" ->
+      s"""SELECT min(doc_id) AS first_id, max(doc_id) AS last_id, count(*) AS n
+         |FROM documents WHERE list_contains(string_split(text, ' '), '$CountTerm')""".stripMargin,
+    "ft_cross_column" ->
+      s"""SELECT doc_id, n_chars FROM documents
+         |WHERE list_contains(string_split(text, ' '), '$CountTerm')
+         |AND n_chars >= 300 AND n_chars < 600 ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (vec_id, embedding:
+  * array<float>, label).
+  *
+  *  - brute-force cosine top-k: the exactness baseline, a single pruned scan
+  *    + TakeOrderedAndProject (per-partition heap, no full sort);
+  *  - LSH-bucketed variant: 12 deterministic random hyperplanes (md5-seeded,
+  *    engine-portable) -> 12-bit signature -> only candidates sharing the
+  *    probe's bucket get exact-scored. At 10^12 rows the signature is the
+  *    shuffle/partition key and the probe touches one bucket instead of the
+  *    whole table (recall/speed trade measured in SimilaritySpec).
+  *
+  * Dot products via `zip_with` + `aggregate` higher-order functions —
+  * codegen'd column expressions, no UDF (SURVEY.md guidance).
+  */
+object Similarity {
+
+  val ProbeVec = 0L
+  val K = 10
+  val NumPlanes = 12
+  val Dim = 64
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Deterministic hyperplane component (p, i) in [-1, 1): md5-seeded so
+    * DuckDB can reproduce it exactly (hex-digit arithmetic only). */
+  def planeComponent(p: Int, i: Int): Double = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane:$p:$i".getBytes("UTF-8"))
+    val v = ((h(0) & 0xff) << 8) | (h(1) & 0xff)
+    v.toDouble / 32768.0 - 1.0
+  }
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def l2(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine of every vector against the probe vector (as double). */
+  private def cosineToProbe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).withColumn("emb", transform($"embedding", _.cast("double")))
+    val probe = e.filter($"vec_id" === ProbeVec)
+      .select($"emb".as("q"), l2($"emb").as("qn"))
+    e.crossJoin(broadcast(probe))
+      .select($"vec_id", $"label",
+        (dot($"emb", $"q") / (l2($"emb") * $"qn")).as("cos"))
+  }
+
+  /** Brute-force exact cosine top-k. */
+  def cosineTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    cosineToProbe(s, dir)
+      .filter($"vec_id" =!= ProbeVec)
+      .select($"vec_id", round(round($"cos", 9), 4).as("cos"))
+      .orderBy(round($"cos", 9).desc, $"vec_id".asc)
+      .limit(K)
+  }
+
+  val BandBits = 4   // 12 planes -> 3 bands of 4 bits
+
+  /** Per-vector LSH band values: [[NumPlanes]] hyperplane sign bits grouped
+    * into bands of [[BandBits]]. Candidates = vectors sharing ANY band value
+    * with the probe (classic banding: boosts recall vs one monolithic
+    * signature while keeping each band's bucket space small enough to be the
+    * shuffle/partition key at scale). */
+  def bandSignature(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).withColumn("emb", transform($"embedding", _.cast("double")))
+    val bits = (0 until NumPlanes).map { p =>
+      val comps = (0 until Dim).map(i => planeComponent(p, i))
+      val proj = aggregate(
+        zip_with($"emb", typedLit(comps), (x, w) => x * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1 << (p % BandBits))).otherwise(lit(0))
+        .as(s"bit$p")
+    }
+    val nBands = NumPlanes / BandBits
+    val bands = (0 until nBands).map { b =>
+      (0 until BandBits).map(r => col(s"bit${b * BandBits + r}")).reduce(_ + _)
+        .cast("int").as(s"band$b")
+    }
+    val withBits = e.select(($"vec_id" +: $"emb" +: bits): _*)
+    withBits.select($"vec_id", $"emb",
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band_idx"), bands(b).as("band_val"))): _*)).as("bv"))
+      .select($"vec_id", $"emb", $"bv.band_idx", $"bv.band_val")
+  }
+
+  /** ANN via LSH banding: exact-score only vectors sharing a band with the
+    * probe. Returns its top-k (recall vs brute force asserted in
+    * SimilaritySpec). */
+  def lshTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sig = bandSignature(s, dir)
+    val probe = sig.filter($"vec_id" === ProbeVec)
+      .select($"band_idx", $"band_val", $"emb".as("q"), l2($"emb").as("qn"))
+    val cand = sig.join(broadcast(probe.select($"band_idx", $"band_val")),
+        Seq("band_idx", "band_val"), "left_semi")
+      .filter($"vec_id" =!= ProbeVec)
+      .select($"vec_id", $"emb").distinct()
+    val q = probe.select($"q", $"qn").limit(1)
+    cand.crossJoin(broadcast(q))
+      .select($"vec_id", round(round(dot($"emb", $"q") / (l2($"emb") * $"qn"), 9), 4).as("cos"))
+      .orderBy($"cos".desc, $"vec_id".asc)
+      .limit(K)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_cosine_topk" -> (cosineTopK _),
+    "ann_lsh_topk" -> (lshTopK _))
+
+  val oracleSql: Map[String, String] = Map(
+    "ann_cosine_topk" ->
+      s"""WITH f AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |         CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings),
+         |q AS (SELECT i, v AS qv FROM f WHERE vec_id = $ProbeVec),
+         |sc AS (
+         |  SELECT f.vec_id,
+         |    sum(f.v * q.qv) / (sqrt(sum(f.v * f.v)) * sqrt(sum(q.qv * q.qv))) AS cos
+         |  FROM f JOIN q USING (i) WHERE f.vec_id <> $ProbeVec GROUP BY 1)
+         |SELECT vec_id, round(round(cos, 9), 4) AS cos FROM sc
+         |ORDER BY round(cos, 9) DESC, vec_id ASC LIMIT $K""".stripMargin)
+  // ann_lsh_topk: no SQL oracle (bucketing heuristic); recall vs brute force
+  // asserted in SimilaritySpec.
+}
