@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scaling-efficiency evidence (north_rule: throughput scaling efficiency
+  * >= 0.8 between N and 4N executors; BASELINE.md: evidenced in this sandbox
+  * by running the identical job at local[8] and local[32] on the same input,
+  * since no real cluster exists here).
+  *
+  * Runs the full index build (tokenize -> runs -> dictionary -> salted merge
+  * -> segments) over the same deterministic corpus at each parallelism,
+  * scaling shuffle partitions with cores, and reports
+  * efficiency = (T_N / T_4N) / (4N / N).
+  *
+  * Usage:
+  *   runMain graft.Scaling measure <cores> <nDocs>   one isolated run, prints one JSON line
+  *   runMain graft.Scaling report <nDocs> <t8> <q8> <t32> <q32> [out.md]
+  * (tools/run_scaling.sh drives both; separate JVMs so runs don't share
+  * heap/GC state.)
+  */
+object Scaling {
+
+  case class Run(cores: Int, buildSec: Double, docsPerSec: Double, querySec: Double)
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "measure" :: cores :: nDocs :: Nil =>
+      val r = measure(cores.toInt, nDocs.toLong)
+      println(f"""{"cores":${r.cores},"build_sec":${r.buildSec}%.2f,"docs_per_sec":${r.docsPerSec}%.0f,"query_sec":${r.querySec}%.4f}""")
+    case "report" :: nDocs :: t8 :: q8 :: t32 :: q32 :: rest =>
+      val n = nDocs.toLong
+      report(n, Run(8, t8.toDouble, n / t8.toDouble, q8.toDouble),
+        Run(32, t32.toDouble, n / t32.toDouble, q32.toDouble),
+        rest.headOption.getOrElse("BENCH/BASELINE.md"))
+    case "probe" :: cores :: nDocs :: Nil =>
+      probe(cores.toInt, nDocs.toLong)
+    case _ =>
+      System.err.println("usage: measure <cores> <nDocs> | report <nDocs> <t8> <q8> <t32> <q32> [out.md]")
+      sys.exit(2)
+  }
+
+  /** Stage-by-stage timing to localize scaling bottlenecks. */
+  def probe(cores: Int, nDocs: Long): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    def t(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"PROBE $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    val corpus = vfsidx.corpus.Synth.corpus(spark, nDocs, cores * 2)
+    t("synth_count")(corpus.count())
+    t("synth_count2")(corpus.count())
+    val posts = vfsidx.build.IndexBuild.tokenize(corpus)
+    t("tokenize_count")(posts.count())
+    val dir = java.nio.file.Files.createTempDirectory(s"probe_${cores}_").toString
+    t("runs_write")(posts.sortWithinPartitions($"term").write.parquet(s"$dir/runs"))
+    val runs = spark.read.parquet(s"$dir/runs")
+    t("dict")(runs.groupBy($"term").count().count())
+    t("shuffle_encode") {
+      vfsidx.build.IndexBuild.build(spark, corpus, dir + "/full",
+        vfsidx.build.IndexBuild.BuildConfig(numBatches = 1, numBuckets = cores,
+          saltThreshold = nDocs / 10, shardSize = 4096))
+    }
+    spark.stop()
+  }
+
+  def measure(cores: Int, nDocs: Long): Run = {
+    {
+      val spark = SparkSession.builder()
+        .master(s"local[$cores]")
+        .appName(s"graft-scaling-$cores")
+        .config("spark.sql.shuffle.partitions", cores)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        // The sandbox corpus is tiny (~2 KB/doc); with default 128 MB split
+        // size + 4 MB open cost a scan collapses to ~3 input partitions and
+        // can never use the cores. Size splits so scans parallelize — the
+        // same knob a real 100 TB deployment tunes per table.
+        .config("spark.sql.files.maxPartitionBytes", (4 << 20).toString)
+        .config("spark.sql.files.openCostInBytes", (128 << 10).toString)
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val dir = java.nio.file.Files.createTempDirectory(s"scale_${cores}_").toString
+      // materialize the corpus as a parquet table first (untimed): the
+      // input_hint contract is an Iceberg TABLE of source code — the build
+      // job reads a table, it doesn't run the generator.
+      vfsidx.corpus.Synth.corpus(spark, nDocs, cores * 2)
+        .write.parquet(s"$dir/corpus")
+      import spark.implicits._
+      val corpus = spark.read.parquet(s"$dir/corpus").as[vfsidx.corpus.SourceFile]
+      val t0 = System.nanoTime()
+      vfsidx.build.IndexBuild.build(spark, corpus, dir,
+        vfsidx.build.IndexBuild.BuildConfig(
+          numBatches = 2, numBuckets = cores,
+          saltThreshold = nDocs / 10, shardSize = 4096))
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      val idx = new vfsidx.query.Bm25Index(spark, dir)
+      idx.topKOr("index merge", 10).collect() // warm codegen
+      val q0 = System.nanoTime()
+      idx.topKOr("index merge search query", 10).collect()
+      idx.topKAnd("index merge search", 10).collect()
+      idx.topKOr("the int val", 10).collect()
+      val querySec = (System.nanoTime() - q0) / 1e9 / 3
+      spark.stop()
+      Run(cores, buildSec, nDocs / buildSec, querySec)
+    }
+  }
+
+  def report(nDocs: Long, n: Run, n4: Run, outMd: String): Unit = {
+    val eff = (n.buildSec / n4.buildSec) / (n4.cores.toDouble / n.cores)
+    val report =
+      f"""# BENCH — measured baseline and scaling efficiency
+         |
+         |Machine: ${Runtime.getRuntime.availableProcessors()} cores (local mode,
+         |single JVM; N and 4N cores stand in for N / 4N executors — no real
+         |cluster in this sandbox, per BASELINE.md).
+         |
+         |Job: full inverted-index build over the deterministic synthetic
+         |source-code corpus (${nDocs} docs), identical input both runs;
+         |`spark.sql.shuffle.partitions` scaled with cores.
+         |
+         || parallelism | build time (s) | throughput (docs/s) | BM25 top-10 latency (s) |
+         ||---|---|---|---|
+         || local[${n.cores}]  | ${n.buildSec}%.1f | ${n.docsPerSec}%.0f | ${n.querySec}%.3f |
+         || local[${n4.cores}] | ${n4.buildSec}%.1f | ${n4.docsPerSec}%.0f | ${n4.querySec}%.3f |
+         |
+         |**Scaling efficiency (T_N / T_4N) / 4 = ${eff}%.3f** (target >= 0.8).
+         |
+         |Reference baseline (BASELINE.md): the reference publishes ~2,072
+         |items/s single-node indexing throughput on a small JSON corpus
+         |(/root/reference/README.ja.md:32-35); our ${n4.cores}-core build
+         |sustains ${n4.docsPerSec}%.0f docs/s on full source files
+         |(tokenize + SPIMI + salted merge + varbyte segments).
+         |""".stripMargin
+    new java.io.File(outMd).getParentFile match {
+      case null => ()
+      case p => p.mkdirs()
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outMd), report)
+    println(report)
+  }
+}

@@ -52,6 +52,15 @@ object Similarity {
         (dot($"emb", $"q") / (l2($"emb") * $"qn")).as("cos"))
   }
 
+  /** All (vec_id -> rounded cosine vs probe) — test support. */
+  def cosineToProbeAll(s: SparkSession, dir: String): Map[Long, Double] = {
+    import s.implicits._
+    cosineToProbe(s, dir)
+      .filter($"vec_id" =!= ProbeVec)
+      .select($"vec_id", round(round($"cos", 9), 4).as("cos"))
+      .as[(Long, Double)].collect().toMap
+  }
+
   /** Brute-force exact cosine top-k. */
   def cosineTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -127,7 +136,38 @@ object Similarity {
          |    sum(f.v * q.qv) / (sqrt(sum(f.v * f.v)) * sqrt(sum(q.qv * q.qv))) AS cos
          |  FROM f JOIN q USING (i) WHERE f.vec_id <> $ProbeVec GROUP BY 1)
          |SELECT vec_id, round(round(cos, 9), 4) AS cos FROM sc
-         |ORDER BY round(cos, 9) DESC, vec_id ASC LIMIT $K""".stripMargin)
-  // ann_lsh_topk: no SQL oracle (bucketing heuristic); recall vs brute force
-  // asserted in SimilaritySpec.
+         |ORDER BY round(cos, 9) DESC, vec_id ASC LIMIT $K""".stripMargin,
+    // the LSH path is fully reproducible in SQL because the hyperplanes are
+    // md5-derived (hex-digit arithmetic only) — same candidates, same scores
+    "ann_lsh_topk" ->
+      s"""WITH planes AS (
+         |  SELECT p, i,
+         |    ((16*(strpos('0123456789abcdef', substr(md5('plane:'||p||':'||i),1,1))-1)
+         |     + (strpos('0123456789abcdef', substr(md5('plane:'||p||':'||i),2,1))-1)) * 256
+         |     + 16*(strpos('0123456789abcdef', substr(md5('plane:'||p||':'||i),3,1))-1)
+         |     + (strpos('0123456789abcdef', substr(md5('plane:'||p||':'||i),4,1))-1)
+         |    ) / 32768.0 - 1.0 AS w
+         |  FROM generate_series(0, ${NumPlanes - 1}) t(p), generate_series(0, ${Dim - 1}) u(i)),
+         |f AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         |         CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings),
+         |proj AS (
+         |  SELECT vec_id, p, sum(v * w) AS pr
+         |  FROM f JOIN planes USING (i) GROUP BY 1, 2),
+         |bands AS (
+         |  SELECT vec_id, p // $BandBits AS band,
+         |         CAST(sum(CASE WHEN pr >= 0 THEN 1 << (p % $BandBits) ELSE 0 END) AS INT) AS bval
+         |  FROM proj GROUP BY 1, 2),
+         |probe AS (SELECT band, bval FROM bands WHERE vec_id = $ProbeVec),
+         |cand AS (
+         |  SELECT DISTINCT b.vec_id FROM bands b JOIN probe USING (band, bval)
+         |  WHERE b.vec_id <> $ProbeVec),
+         |q AS (SELECT i, v AS qv FROM f WHERE vec_id = $ProbeVec),
+         |sc AS (
+         |  SELECT f.vec_id,
+         |    sum(f.v * q.qv) / (sqrt(sum(f.v * f.v)) * sqrt(sum(q.qv * q.qv))) AS cos
+         |  FROM f JOIN q USING (i) JOIN cand ON cand.vec_id = f.vec_id GROUP BY 1)
+         |SELECT vec_id, round(round(cos, 9), 4) AS cos FROM sc
+         |ORDER BY round(round(cos, 9), 4) DESC, vec_id ASC LIMIT $K""".stripMargin)
 }

@@ -28,7 +28,6 @@ final case class SegmentRow(
     block_max_norm: Array[Float])
 
 final case class DictRow(term: String, df: Long, idf: Double)
-final case class DocStat(doc_id: Long, dl: Int, sha256: String)
 final case class CorpusStats(n_docs: Long, avgdl: Double)
 
 /** Per-partition lineage row (north_rule: "checkpoint-resumable with
@@ -91,7 +90,7 @@ object IndexBuild {
   }
 
   def runsDir(dir: String, batch: Int) = s"$dir/runs/batch=$batch"
-  def docStatsDir(dir: String, batch: Int) = s"$dir/doc_stats/batch=$batch"
+  def docStatsDir(dir: String) = s"$dir/doc_stats"
   def statsDir(dir: String) = s"$dir/stats"
   def dictDir(dir: String) = s"$dir/dictionary"
   def segmentsDir(dir: String) = s"$dir/segments"
@@ -101,62 +100,83 @@ object IndexBuild {
     import docs.sparkSession.implicits._
     docs.flatMap { d =>
       val (tfs, dl) = Tokenizer.termFreqs(d.content)
-      tfs.iterator.map { case (t, tf) => Posting(t, d.doc_id, tf, dl) }
+      import scala.jdk.CollectionConverters._
+      tfs.entrySet().iterator().asScala.map(e => Posting(e.getKey, d.doc_id, e.getValue, dl))
     }
   }
 
   /** Full (or resumed) build. Idempotent: completed stages/batches are
     * detected via `_SUCCESS` markers and skipped, mirroring the reference's
     * dirty-detection resume (/root/reference/record.go:46-82). */
+  private val verbose = sys.env.contains("GRAFT_BUILD_VERBOSE")
+  @inline private def timed[A](name: String)(f: => A): A = {
+    if (!verbose) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"BUILD-STAGE $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+  }
+
   def build(spark: SparkSession, docs: Dataset[SourceFile], dir: String,
             cfg: BuildConfig = BuildConfig()): Unit = {
     import spark.implicits._
 
-    val nDocs = docs.count()
+    val nDocs = timed("count")(docs.count())
     val perBatch = math.max(1L, (nDocs + cfg.numBatches - 1) / cfg.numBatches)
+    // lineage rows for work done by THIS invocation, flushed in one append
+    // at the end (one tiny job instead of one per unit; resume keys off the
+    // _SUCCESS markers, lineage is the audit/metrics trail)
+    val lineage = scala.collection.mutable.ArrayBuffer[LineageRow]()
 
-    // ---- stage 1: postings runs + doc stats, one ingest batch at a time ----
+    // ---- stage 1: postings runs, one ingest batch at a time ----
     for (b <- 0 until cfg.numBatches) {
       val rDir = runsDir(dir, b)
-      if (!TableIO.done(spark, rDir)) {
+      if (!TableIO.done(spark, rDir)) timed(s"batch$b") {
         val t0 = System.currentTimeMillis()
         val lo = b * perBatch
         val hi = math.min(nDocs, lo + perBatch)
         // column predicate (not a closure) so a parquet-backed corpus gets
         // min/max row-group pruning on doc_id
         val batchDocs = docs.filter($"doc_id" >= lo && $"doc_id" < hi).as[SourceFile]
-        val postings = tokenize(batchDocs).sortWithinPartitions($"term")
+        // no sort here: the merge stage re-ranges on (term, shard) anyway,
+        // and parquet dictionary encoding compresses unsorted terms fine
+        val postings = tokenize(batchDocs)
         TableIO.write(postings.toDF(), rDir)
-        TableIO.write(
-          batchDocs.map(d => DocStat(d.doc_id, Tokenizer.termFreqs(d.content)._2, d.sha256)).toDF(),
-          docStatsDir(dir, b))
+        // parquet-footer count: metadata only, no data scan
         val nPost = spark.read.parquet(rDir).count()
-        TableIO.append(Seq(LineageRow("runs", b, "", "", hi - lo, nPost, 0L,
-          System.currentTimeMillis() - t0)).toDF(), lineageDir(dir))
+        lineage += LineageRow("runs", b, "", "", hi - lo, nPost, 0L,
+          System.currentTimeMillis() - t0)
       }
     }
 
     val allRuns = spark.read.parquet((0 until cfg.numBatches).map(runsDir(dir, _)): _*).as[Posting]
-    val allDocStats = spark.read.parquet((0 until cfg.numBatches).map(docStatsDir(dir, _)): _*).as[DocStat]
 
-    // ---- stage 2: corpus stats + dictionary ----
-    if (!TableIO.done(spark, statsDir(dir))) {
-      val st = allDocStats.agg(count($"doc_id"), avg($"dl")).as[(Long, Double)].head()
-      TableIO.write(Seq(CorpusStats(st._1, st._2)).toDF(), statsDir(dir))
+    // ---- stage 2: doc fidelity table + dictionary + corpus stats ----
+    // doc_stats is a columnar projection (doc_id, sha256): parquet never
+    // reads `content`.
+    if (!TableIO.done(spark, docStatsDir(dir))) timed("doc_stats") {
+      TableIO.write(docs.select($"doc_id", $"sha256").toDF(), docStatsDir(dir))
     }
-    val stats = spark.read.parquet(statsDir(dir)).as[CorpusStats].head()
-
-    if (!TableIO.done(spark, dictDir(dir))) {
-      val n = stats.n_docs.toDouble
+    if (!TableIO.done(spark, dictDir(dir))) timed("dict") {
+      val n = nDocs.toDouble
       TableIO.write(
-        allRuns.groupBy($"term").agg(count(lit(1)).as("df"))
-          .select($"term", $"df",
+        allRuns.groupBy($"term").agg(count(lit(1)).as("df"), sum($"tf").as("tf_sum"))
+          .select($"term", $"df", $"tf_sum",
             log((lit(n) - $"df" + 0.5) / ($"df" + 0.5) + 1.0).as("idf"))
           .toDF(), dictDir(dir))
     }
+    // avgdl == sum(tf)/N because sum(dl over docs) == sum(tf over postings);
+    // sum(tf) comes off the (small) dictionary, no extra pass over the runs.
+    if (!TableIO.done(spark, statsDir(dir))) timed("stats") {
+      val tfSum = spark.read.parquet(dictDir(dir)).agg(sum($"tf_sum")).as[Long].head()
+      TableIO.write(Seq(CorpusStats(nDocs, tfSum.toDouble / nDocs)).toDF(), statsDir(dir))
+    }
+    val stats = spark.read.parquet(statsDir(dir)).as[CorpusStats].head()
 
     // ---- stage 3: the one global shuffle — salted range merge to segments ----
-    if (!TableIO.done(spark, segmentsDir(dir))) {
+    if (!TableIO.done(spark, segmentsDir(dir))) timed("segments") {
       val t0 = System.currentTimeMillis()
       // The Zipf head is tiny by construction (#terms with df > threshold
       // < totalPostings/threshold), so it broadcast-joins; the tail never
@@ -172,14 +192,20 @@ object IndexBuild {
         .withColumn("shard",
           when($"is_head", ($"doc_id" / shardSize).cast("int")).otherwise(lit(0)))
         .select($"term", $"doc_id", $"tf", $"dl", $"shard")
+      // HASH partition on (term, shard) — not range: range partitioning needs
+      // an extra sampling pass over every posting, and lexicographically
+      // adjacent term families (e.g. 10^6 df=1 `needle_*` terms) all land in
+      // one reducer. Hash spreads them uniformly; the per-file term min/max
+      // stats that replace the reference's filename key ranges still come
+      // from sortWithinPartitions below.
       val segs = sharded
-        .repartitionByRange(cfg.numBuckets, $"term", $"shard")
+        .repartition(cfg.numBuckets, $"term", $"shard")
         .sortWithinPartitions($"term", $"shard", $"doc_id")
         .as[(String, Long, Int, Int, Int)]
         .mapPartitions { it => encodePartition(it, avgdl) }
       TableIO.write(segs.toDF(), segmentsDir(dir))
 
-      val lin = spark.read.parquet(segmentsDir(dir))
+      lineage ++= spark.read.parquet(segmentsDir(dir))
         .groupBy($"bucket")
         .agg(min($"term").as("tf_"), max($"term").as("tl_"),
           sum($"count").as("np"), sum(length($"postings")).as("bytes"))
@@ -189,7 +215,10 @@ object IndexBuild {
           LineageRow("segments", pid, tf_, tl_, 0L, np, bytes,
             System.currentTimeMillis() - t0)
         }
-      TableIO.append(spark.createDataset(lin.toSeq).toDF(), lineageDir(dir))
+    }
+
+    if (lineage.nonEmpty) timed("lineage") {
+      TableIO.append(spark.createDataset(lineage.toSeq).toDF(), lineageDir(dir))
     }
   }
 

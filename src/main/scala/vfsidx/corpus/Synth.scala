@@ -49,9 +49,20 @@ object Synth {
     "// 鬼滅の刃を検索する",
     "// 活動内容を記録")
 
+  // MessageDigest.getInstance does a synchronized provider lookup — at 32
+  // concurrent tasks that lock serializes the whole corpus scan. One digest
+  // per thread, reset per use.
+  private val sha = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("SHA-256")
+  }
+
   def sha256Hex(s: String): String = {
-    val d = MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8"))
-    d.map(b => f"$b%02x").mkString
+    val md = sha.get()
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    val sb = new StringBuilder(64)
+    d.foreach(b => sb.append(f"$b%02x"))
+    sb.toString
   }
 
   /** Content of doc i — pure function of (Seed, i). */

@@ -101,12 +101,85 @@ class Bm25Index(spark: SparkSession, dir: String) {
       .limit(k)
   }
 
-  /** Disjunctive (standard BM25) top-k. */
-  def topKOr(query: String, k: Int): DataFrame = {
+  /** Disjunctive (standard BM25) top-k — full scoring, no pruning. The
+    * differential baseline for [[topKOr]]. */
+  def topKOrNaive(query: String, k: Int): DataFrame = {
     val terms = Tokenizer.codeTokens(query).distinct
     if (terms.isEmpty) return spark.emptyDataset[Hit].toDF()
     val idfs = idfMap(terms)
     rank(contributions(terms, idfs), k, None)
+  }
+
+  /** Disjunctive BM25 top-k with block-max MaxScore pruning — exact (rank-
+    * identical to [[topKOrNaive]] and the oracle), but skips decoding blocks
+    * that provably cannot reach the top-k:
+    *
+    *  1. θ = k-th best score of the rarest term scored alone (a valid lower
+    *     bound of the final k-th score; cheap — the rarest list is shortest);
+    *  2. terms sorted by their global score upper bound
+    *     maxUb(t) = idf(t) · max(block_max_norm); the maximal prefix with
+    *     Σ maxUb STRICTLY below θ is "non-essential": a doc appearing only
+    *     in those lists scores < θ and cannot displace the top-k (strict
+    *     inequality keeps the (score, doc_id) tie-break exact);
+    *  3. essential lists decode fully and define the candidate doc ranges
+    *     (their block [first,last] intervals); non-essential lists decode
+    *     only blocks overlapping a candidate range — every candidate doc
+    *     still receives its exact full score.
+    *
+    * This is the distributed re-expression of block-max WAND
+    * (Ding & Suel 2011) / MaxScore: per-doc cursors become per-block range
+    * intersection, and the shared threshold becomes the phase-1 θ. The
+    * reference's analog is its high-DF trigram pruning `filterByAvg`
+    * (/root/reference/search_cond.go:240-280) — which is lossy; ours is
+    * exact. */
+  def topKOr(query: String, k: Int): DataFrame = {
+    import spark.implicits._
+    val terms = Tokenizer.codeTokens(query).distinct
+    if (terms.isEmpty) return spark.emptyDataset[Hit].toDF()
+    val idfs = idfMap(terms)
+    if (terms.size == 1) return rank(contributions(terms, idfs), k, None)
+
+    val present = terms.filter(idfs.contains)
+    if (present.isEmpty) return spark.emptyDataset[Hit].toDF()
+    val dfs = dictionary.filter($"term".isin(present: _*))
+      .select($"term", $"df").as[(String, Long)].collect().toMap
+
+    // phase 1: θ from the rarest term's own top-k
+    val rarest = present.minBy(dfs)
+    val theta: Double = {
+      val top = rank(contributions(Seq(rarest), idfs), k, None)
+        .select($"score").as[Double].collect()
+      if (top.length < k) 0.0 else top.last
+    }
+
+    // global per-term upper bounds from block metadata (pruned scan)
+    val maxUb: Map[String, Double] = segments.filter($"term".isin(present: _*))
+      .select($"term", array_max($"block_max_norm").as("mn"))
+      .groupBy($"term").agg(max($"mn").as("mn"))
+      .as[(String, Float)].collect()
+      .map { case (t, mn) => t -> idfs(t) * mn }.toMap
+
+    // maximal prefix (ascending ub) with strict Σ ub < θ is non-essential
+    val byUb = present.sortBy(maxUb)
+    var cum = 0.0
+    val nonEssential = byUb.takeWhile { t => cum += maxUb(t); cum < theta }.toSet
+    val essential = present.filterNot(nonEssential)
+
+    if (nonEssential.isEmpty) return rank(contributions(present, idfs), k, None)
+
+    // candidate doc ranges = essential terms' block intervals (bounded
+    // collect: block metadata is 1/128th of postings; cap keeps the driver
+    // safe — over the cap we fall back to exact full scoring)
+    val ranges = segments.filter($"term".isin(essential: _*))
+      .flatMap(s => s.block_first.zip(s.block_last))
+      .limit(200001).collect()
+    if (ranges.length > 200000) return rank(contributions(present, idfs), k, None)
+    val sortedRanges = ranges.sortBy(_._1)
+
+    val essContribs = contributions(essential, idfs)
+    val nonEssContribs = contributions(nonEssential.toSeq, idfs,
+      Some(sortedRanges), protectTerm = "")
+    rank(essContribs.union(nonEssContribs), k, None)
   }
 
   /** Conjunctive (reference J1 intersection semantics) top-k with

@@ -23,23 +23,61 @@ package vfsidx.tokenize
   */
 object Tokenizer {
 
-  private val wordRe = "[A-Za-z0-9_]+".r
+  @inline private def isWordChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '_'
+
+  /** Extract the lowercased [i, j) token. Avoids substring+toLowerCase
+    * double allocation when the run is already lowercase (the common case
+    * in code). Hand-rolled scanner instead of a Regex: tokenization runs on
+    * every byte of a 100 TB corpus, and Matcher/boxing allocation rates
+    * saturate memory bandwidth long before the CPUs are busy. */
+  @inline private def tokenAt(content: String, i: Int, j: Int): String = {
+    var k = i
+    var upper = false
+    while (k < j && !upper) { val c = content.charAt(k); upper = c >= 'A' && c <= 'Z'; k += 1 }
+    if (!upper) content.substring(i, j)
+    else {
+      val arr = new Array[Char](j - i)
+      var p = i
+      while (p < j) {
+        val c = content.charAt(p)
+        arr(p - i) = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+        p += 1
+      }
+      new String(arr)
+    }
+  }
+
+  @inline private def scan(content: String)(emit: String => Unit): Unit = {
+    var i = 0
+    val n = content.length
+    while (i < n) {
+      if (isWordChar(content.charAt(i))) {
+        var j = i + 1
+        while (j < n && isWordChar(content.charAt(j))) j += 1
+        emit(tokenAt(content, i, j))
+        i = j
+      } else i += 1
+    }
+  }
 
   /** Lowercased identifier/number tokens of a source-code document. */
-  def codeTokens(content: String): Seq[String] =
-    wordRe.findAllIn(content).map(_.toLowerCase).toSeq
+  def codeTokens(content: String): Seq[String] = {
+    val b = Seq.newBuilder[String]
+    scan(content)(b += _)
+    b.result()
+  }
 
-  /** (term -> tf) map plus document length (total token count). */
-  def termFreqs(content: String): (Map[String, Int], Int) = {
+  /** (term -> tf) entries plus document length (total token count). */
+  def termFreqs(content: String): (java.util.HashMap[String, Int], Int) = {
+    val m = new java.util.HashMap[String, Int]()
     var dl = 0
-    val m = scala.collection.mutable.HashMap.empty[String, Int]
-    val it = wordRe.findAllIn(content)
-    while (it.hasNext) {
-      val t = it.next().toLowerCase
+    scan(content) { t =>
       dl += 1
-      m.update(t, m.getOrElse(t, 0) + 1)
+      m.put(t, m.getOrDefault(t, 0) + 1)
     }
-    (m.toMap, dl)
+    (m, dl)
   }
 
   /** Reference-parity trigram encoding: 3 code points -> hex string

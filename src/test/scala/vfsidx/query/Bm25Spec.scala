@@ -27,7 +27,9 @@ class Bm25Spec extends SparkTestBase {
     df.as[(Long, Double)].collect().toSeq
 
   private def assertRankIdentical(q: String, k: Int = 10): Unit = {
-    assert(rows(index.topKOr(q, k)) == rows(Oracle.topKOr(spark, docs, q, k)), s"OR: $q")
+    val oracle = rows(Oracle.topKOr(spark, docs, q, k))
+    assert(rows(index.topKOrNaive(q, k)) == oracle, s"OR naive: $q")
+    assert(rows(index.topKOr(q, k)) == oracle, s"OR wand: $q")
     assert(rows(index.topKAnd(q, k)) == rows(Oracle.topKAnd(spark, docs, q, k)), s"AND: $q")
   }
 
@@ -68,6 +70,14 @@ class Bm25Spec extends SparkTestBase {
     val a = rows(index.topKOr("int int", 10))
     val b = rows(index.topKOr("int", 10))
     assert(a == b)
+  }
+
+  test("wand pruning path agrees with naive on adversarial mixes") {
+    for (q <- Seq("needle_9 the int", "the int val return if",
+      "needle_1 needle_2 needle_3", "index the", "tokenize needle_100 int val")) {
+      assert(rows(index.topKOr(q, 10)) == rows(index.topKOrNaive(q, 10)), q)
+      assert(rows(index.topKOr(q, 3)) == rows(index.topKOrNaive(q, 3)), s"$q k=3")
+    }
   }
 
   test("head terms were actually sharded (skew handling exercised)") {

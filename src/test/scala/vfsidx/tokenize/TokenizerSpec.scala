@@ -40,7 +40,7 @@ class TokenizerSpec extends AnyFunSuite {
 
   test("termFreqs counts tf and dl") {
     val (tfs, dl) = Tokenizer.termFreqs("a b a c a")
-    assert(dl == 5 && tfs("a") == 3 && tfs("b") == 1)
+    assert(dl == 5 && tfs.get("a") == 3 && tfs.get("b") == 1)
   }
 
   test("shingles produce n-word windows") {
