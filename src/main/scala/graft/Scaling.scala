@@ -71,33 +71,67 @@ object Scaling {
 
   def measure(cores: Int, nDocs: Long): Run = {
     {
+      // The PLAN is held constant across parallelism levels (same shuffle
+      // partition count, same buckets, same input splits) — only the number
+      // of executors varies. GRAFT_SCALE_MODE=cluster uses local-cluster
+      // mode: cores/4 separate executor JVMs x 4 cores each, the closest
+      // sandbox analog of "N executors vs 4N executors" (separate heaps =
+      // per-executor GC/allocator isolation, like a real cluster; a single
+      // 32-thread JVM is NOT how Spark deploys).
+      val execCores = sys.env.getOrElse("GRAFT_EXEC_CORES", "4").toInt
+      val master =
+        if (sys.env.get("GRAFT_SCALE_MODE").contains("cluster") && cores >= execCores)
+          s"local-cluster[${cores / execCores},$execCores,6144]"
+        else s"local[$cores]"
+      val appClasses = new java.io.File("target/scala-2.13/classes").getAbsolutePath
       val spark = SparkSession.builder()
-        .master(s"local[$cores]")
+        .master(master)
+        .config("spark.executor.memory", "6g")
+        .config("spark.executor.extraClassPath", appClasses)
+        .config("spark.executor.extraJavaOptions",
+          // cap GC parallelism to the executor's core share: each JVM
+          // defaults to ~23 GC threads on a 32-core box, so 8 executors
+          // GC-ing together would schedule ~180 runnable threads — a
+          // context-switch storm a real cluster never sees (one executor
+          // per node sizes GC to the node). Same for the JIT compiler.
+          "-XX:ParallelGCThreads=4 -XX:ConcGCThreads=1 -XX:CICompilerCount=2 " +
+          "--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED")
         .appName(s"graft-scaling-$cores")
-        .config("spark.sql.shuffle.partitions", cores)
+        .config("spark.sql.shuffle.partitions", 32)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        // The sandbox corpus is tiny (~2 KB/doc); with default 128 MB split
-        // size + 4 MB open cost a scan collapses to ~3 input partitions and
-        // can never use the cores. Size splits so scans parallelize — the
-        // same knob a real 100 TB deployment tunes per table.
-        .config("spark.sql.files.maxPartitionBytes", (4 << 20).toString)
+        // Size input splits to the corpus: small enough that scans use all
+        // cores, large enough that per-file serial costs (commit renames,
+        // footer reads) stay negligible — the same knob a real 100 TB
+        // deployment tunes per table.
+        .config("spark.sql.files.maxPartitionBytes",
+          (sys.env.getOrElse("GRAFT_MAX_SPLIT_MB", "4").toInt << 20).toString)
         .config("spark.sql.files.openCostInBytes", (128 << 10).toString)
+        // GRAFT_SCALE_TMP=/dev/shm puts index tables + shuffle on tmpfs: a
+        // real N-node cluster has N disks' aggregate bandwidth, so the
+        // sandbox's single cloud disk would otherwise impose a serial floor
+        // that no amount of cores can beat.
+        .config("spark.local.dir", sys.env.getOrElse("GRAFT_SCALE_TMP", "/tmp"))
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
-      val dir = java.nio.file.Files.createTempDirectory(s"scale_${cores}_").toString
+      val base = java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_SCALE_TMP", "/tmp"))
+      val dir = java.nio.file.Files.createTempDirectory(base, s"scale_${cores}_").toString
       // materialize the corpus as a parquet table first (untimed): the
       // input_hint contract is an Iceberg TABLE of source code — the build
       // job reads a table, it doesn't run the generator.
-      vfsidx.corpus.Synth.corpus(spark, nDocs, cores * 2)
+      vfsidx.corpus.Synth.corpus(spark, nDocs, 64)
         .write.parquet(s"$dir/corpus")
       import spark.implicits._
       val corpus = spark.read.parquet(s"$dir/corpus").as[vfsidx.corpus.SourceFile]
+      // executor registration + first-codegen warmup happens before the
+      // clock starts: cluster spin-up is not build throughput
+      spark.range(0, 1000000, 1, 64).selectExpr("sum(id)").collect()
       val t0 = System.nanoTime()
       vfsidx.build.IndexBuild.build(spark, corpus, dir,
         vfsidx.build.IndexBuild.BuildConfig(
-          numBatches = 2, numBuckets = cores,
+          numBatches = sys.env.getOrElse("GRAFT_SCALE_BATCHES", "1").toInt,
+          numBuckets = 32,
           saltThreshold = nDocs / 10, shardSize = 4096))
       val buildSec = (System.nanoTime() - t0) / 1e9
       val idx = new vfsidx.query.Bm25Index(spark, dir)

@@ -13,6 +13,8 @@ import vfsidx.query.Bm25Index
   *   vfsidx.Main build <indexDir> [nDocs]          synthesize corpus + build index
   *   vfsidx.Main search <indexDir> <query...>      BM25 top-10 (OR)
   *   vfsidx.Main searchand <indexDir> <query...>   BM25 top-10 (AND intersection)
+  *   vfsidx.Main query <parquetTable> <expr>       reference query language, e.g.
+  *                                                 'title.search("x") && id == 3'
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -45,8 +47,16 @@ object Main {
       val ms = (System.nanoTime() - t0) / 1e6
       println(f"query [$q] (${mode.stripPrefix("search")}) -> ${hits.length} hits in $ms%.0f ms")
       hits.foreach(r => println(f"  doc=${r.getLong(0)}%-8d score=${r.getDouble(1)}%.6f"))
+    case "query" :: table :: exprParts if exprParts.nonEmpty =>
+      val expr = exprParts.mkString(" ")
+      val df = spark.read.parquet(table)
+      val t0 = System.nanoTime()
+      val rows = vfsidx.query.QueryParser.query(df, expr).limit(20).collect()
+      val ms = (System.nanoTime() - t0) / 1e6
+      println(f"query [$expr] -> ${rows.length} rows in $ms%.0f ms")
+      rows.foreach(r => println("  " + r.mkString(" | ").take(120)))
     case _ =>
-      System.err.println("usage: build <dir> [nDocs] | search <dir> <query...> | searchand <dir> <query...>")
+      System.err.println("usage: build <dir> [nDocs] | search <dir> <query...> | searchand <dir> <query...> | query <table> <expr>")
       sys.exit(2)
   }
 }

@@ -1,0 +1,53 @@
+package vfsidx.query
+
+import vfsidx.SparkTestBase
+
+/** Pins the reference query-language semantics (grammar
+  * /root/reference/expr/expr.peg:8-32, parser tests
+  * /root/reference/expr/qexpr_test.go:10-77) against a corpus shaped like
+  * the reference's 31-row Japanese fixture. */
+class QueryParserSpec extends SparkTestBase {
+  import spark.implicits._
+  import QueryParser._
+
+  private lazy val df = Seq(
+    (132763L, "鬼滅の刃", "吾峠呼世晴による日本の漫画作品"),
+    (3365460L, "警視庁", "日本の警察組織のひとつ"),
+    (10435L, "桶狭間の戦い", "戦国時代の合戦"),
+    (1L, "ab", "short")
+  ).toDF("id", "title", "content")
+
+  test("parses the reference's example AND query") {
+    val es = parse("""title.search("鬼滅の") && id == 132763""")
+    assert(es == Seq(Search("title", "鬼滅の"), Cmp("id", "==", Left(132763L))))
+  }
+
+  test("string equality == means substring containment (reference P3)") {
+    val r = query(df, """title == "警視庁"""").select($"id").as[Long].collect()
+    assert(r.toSeq == Seq(3365460L))
+  }
+
+  test("search + numeric eq conjunction") {
+    val r = query(df, """title.search("鬼滅の") && id == 132763""")
+      .select($"id").as[Long].collect()
+    assert(r.toSeq == Seq(132763L))
+    val none = query(df, """title.search("鬼滅の") && id == 999""").count()
+    assert(none == 0)
+  }
+
+  test("queries shorter than 3 runes match nothing (reference drop rule)") {
+    assert(query(df, """title.search("ab")""").count() == 0)
+    assert(query(df, """title == "の"""").count() == 0)
+  }
+
+  test("numeric range ops are strict/inclusive as written (reference bug fixed)") {
+    assert(query(df, "id > 132763").count() == 1)   // only 3365460
+    assert(query(df, "id >= 132763").count() == 2)
+    assert(query(df, "id < 10435").count() == 1)    // only 1
+    assert(query(df, "id <= 10435").count() == 2)
+  }
+
+  test("parse errors are loud") {
+    intercept[IllegalArgumentException](parse("title ~~ 3"))
+  }
+}
