@@ -47,6 +47,15 @@ object Main {
       val ms = (System.nanoTime() - t0) / 1e6
       println(f"query [$q] (${mode.stripPrefix("search")}) -> ${hits.length} hits in $ms%.0f ms")
       hits.foreach(r => println(f"  doc=${r.getLong(0)}%-8d score=${r.getDouble(1)}%.6f"))
+    case "indexjson" :: dir :: dataDir :: rest =>
+      // the reference's `vfs-index index --data=<dir>` over JSON files
+      val contentField = rest.headOption.getOrElse("content")
+      val corpus = vfsidx.corpus.Ingest.json(spark, dataDir, contentField)
+      val t0 = System.nanoTime()
+      vfsidx.build.IndexBuild.build(spark, corpus, dir,
+        vfsidx.build.IndexBuild.BuildConfig(numBatches = 1, numBuckets = 8))
+      val n = spark.read.parquet(vfsidx.build.IndexBuild.docStatsDir(dir)).count()
+      println(f"indexed $n docs from $dataDir in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $dir")
     case "query" :: table :: exprParts if exprParts.nonEmpty =>
       val expr = exprParts.mkString(" ")
       val df = spark.read.parquet(table)

@@ -159,6 +159,19 @@ object IndexBuild {
     if (!TableIO.done(spark, docStatsDir(dir))) timed("doc_stats") {
       TableIO.write(docs.select($"doc_id", $"sha256").toDF(), docStatsDir(dir))
     }
+    buildDerived(spark, allRuns, nDocs, dir, cfg, lineage)
+
+    if (lineage.nonEmpty) timed("lineage") {
+      TableIO.append(spark.createDataset(lineage.toSeq).toDF(), lineageDir(dir))
+    }
+  }
+
+  /** Stages 2b/3: dictionary + stats + segments from the postings runs.
+    * Shared by the full [[build]] and incremental [[remerge]]. */
+  private def buildDerived(spark: SparkSession, allRuns: Dataset[Posting],
+                           nDocs: Long, dir: String, cfg: BuildConfig,
+                           lineage: scala.collection.mutable.ArrayBuffer[LineageRow]): Unit = {
+    import spark.implicits._
     if (!TableIO.done(spark, dictDir(dir))) timed("dict") {
       val n = nDocs.toDouble
       TableIO.write(
@@ -216,8 +229,51 @@ object IndexBuild {
             System.currentTimeMillis() - t0)
         }
     }
+  }
 
-    if (lineage.nonEmpty) timed("lineage") {
+  /** Incremental ingest (the reference's `Regist` refresh, M1/M2: re-running
+    * registration picks up new data files and indexes only those,
+    * /root/reference/indexer.go:77-93, /root/reference/column.go:167-176):
+    * write one new postings-runs batch for `newDocs`, then [[remerge]] folds
+    * every batch into fresh segments. Existing batches are untouched —
+    * ingest is append-only and idempotent per batchId. */
+  def ingestBatch(spark: SparkSession, newDocs: Dataset[SourceFile], dir: String,
+                  batchId: Int): Unit = {
+    import spark.implicits._
+    val rDir = runsDir(dir, batchId)
+    if (!TableIO.done(spark, rDir)) {
+      val t0 = System.currentTimeMillis()
+      TableIO.write(tokenize(newDocs).toDF(), rDir)
+      val nPost = spark.read.parquet(rDir).count()
+      TableIO.append(Seq(LineageRow("runs", batchId, "", "",
+        newDocs.count(), nPost, 0L, System.currentTimeMillis() - t0)).toDF(),
+        lineageDir(dir))
+      TableIO.append(newDocs.select($"doc_id", $"sha256").toDF(), docStatsDir(dir))
+    }
+  }
+
+  /** Recompute dictionary/stats/segments from ALL runs batches currently on
+    * disk — the reference's merge/compaction consuming accumulated write
+    * files (M4/M8, /root/reference/column.go:418-604). Invalidates and
+    * rebuilds the derived tables; the runs (and the corpus) are the source
+    * of truth. */
+  def remerge(spark: SparkSession, dir: String, cfg: BuildConfig = BuildConfig()): Unit = {
+    def rmrf(p: String): Unit = {
+      val f = new java.io.File(p)
+      if (f.isDirectory) f.listFiles().foreach(c => rmrf(c.getPath))
+      f.delete()
+    }
+    Seq(dictDir(dir), statsDir(dir), segmentsDir(dir)).foreach(rmrf)
+    val batches = Option(new java.io.File(s"$dir/runs").listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("batch=")).map(_.getPath).sorted
+    require(batches.nonEmpty, s"no runs batches under $dir/runs")
+    import spark.implicits._
+    val allRuns = spark.read.parquet(batches.toIndexedSeq: _*).as[Posting]
+    val nDocs = spark.read.parquet(docStatsDir(dir)).count()
+    val lineage = new scala.collection.mutable.ArrayBuffer[LineageRow]()
+    buildDerived(spark, allRuns, nDocs, dir, cfg, lineage)
+    if (lineage.nonEmpty) {
+      import spark.implicits._
       TableIO.append(spark.createDataset(lineage.toSeq).toDF(), lineageDir(dir))
     }
   }
