@@ -69,7 +69,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout for the driver (build.sbt routes forked stdout through raw);
+    // optional file copy so the metric survives any log interleaving.
+    println(line)
+    sys.env.get("BENCH_OUT").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+    }
     spark.stop()
   }
 }

@@ -138,7 +138,8 @@ object FullText {
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
-      |stats AS (SELECT avg(dl) AS avgdl, (SELECT count(*) FROM documents) AS n FROM dl),
+      |stats AS (SELECT (SELECT count(*) FROM tok) * 1.0 / (SELECT count(*) FROM documents) AS avgdl,
+      |          (SELECT count(*) FROM documents) AS n),
       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
       |q AS (SELECT unnest([%QTERMS%]) AS term),
       |sc AS (

@@ -258,14 +258,22 @@ object IndexBuild {
     * rebuilds the derived tables; the runs (and the corpus) are the source
     * of truth. */
   def remerge(spark: SparkSession, dir: String, cfg: BuildConfig = BuildConfig()): Unit = {
+    // All filesystem ops through Hadoop FileSystem (like TableIO.done), not
+    // java.io.File — on HDFS/S3 a java.io rmrf is a silent no-op that would
+    // leave stale segments readable after "invalidation".
+    val hconf = spark.sparkContext.hadoopConfiguration
     def rmrf(p: String): Unit = {
-      val f = new java.io.File(p)
-      if (f.isDirectory) f.listFiles().foreach(c => rmrf(c.getPath))
-      f.delete()
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(hconf)
+      if (fs.exists(path)) fs.delete(path, true)
     }
     Seq(dictDir(dir), statsDir(dir), segmentsDir(dir)).foreach(rmrf)
-    val batches = Option(new java.io.File(s"$dir/runs").listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith("batch=")).map(_.getPath).sorted
+    val runsPath = new org.apache.hadoop.fs.Path(s"$dir/runs")
+    val runsFs = runsPath.getFileSystem(hconf)
+    val batches =
+      (if (runsFs.exists(runsPath)) runsFs.listStatus(runsPath) else Array.empty[org.apache.hadoop.fs.FileStatus])
+        .filter(_.getPath.getName.startsWith("batch="))
+        .map(_.getPath.toString).sorted
     require(batches.nonEmpty, s"no runs batches under $dir/runs")
     import spark.implicits._
     val allRuns = spark.read.parquet(batches.toIndexedSeq: _*).as[Posting]

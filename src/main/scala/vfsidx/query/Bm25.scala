@@ -144,20 +144,24 @@ class Bm25Index(spark: SparkSession, dir: String) {
     val dfs = dictionary.filter($"term".isin(present: _*))
       .select($"term", $"df").as[(String, Long)].collect().toMap
 
-    // phase 1: θ from the rarest term's own top-k
+    // phase 1: θ from the rarest term's own top-k. rank() HALF_UP-rounds to
+    // 9 dp (can exceed the true k-th score by 5e-10), so back off 1e-9 to
+    // keep θ a valid LOWER bound — pruning bounds must all be conservative.
     val rarest = present.minBy(dfs)
     val theta: Double = {
       val top = rank(contributions(Seq(rarest), idfs), k, None)
         .select($"score").as[Double].collect()
-      if (top.length < k) 0.0 else top.last
+      if (top.length < k) 0.0 else math.max(0.0, top.last - 1e-9)
     }
 
-    // global per-term upper bounds from block metadata (pruned scan)
+    // global per-term upper bounds from block metadata (pruned scan).
+    // block_max_norm was stored via Double→Float (may round DOWN ~1 ulp);
+    // nextUp restores a safe UPPER bound.
     val maxUb: Map[String, Double] = segments.filter($"term".isin(present: _*))
       .select($"term", array_max($"block_max_norm").as("mn"))
       .groupBy($"term").agg(max($"mn").as("mn"))
       .as[(String, Float)].collect()
-      .map { case (t, mn) => t -> idfs(t) * mn }.toMap
+      .map { case (t, mn) => t -> idfs(t) * Math.nextUp(mn).toDouble }.toMap
 
     // maximal prefix (ascending ub) with strict Σ ub < θ is non-essential
     val byUb = present.sortBy(maxUb)
@@ -174,7 +178,7 @@ class Bm25Index(spark: SparkSession, dir: String) {
       .flatMap(s => s.block_first.zip(s.block_last))
       .limit(200001).collect()
     if (ranges.length > 200000) return rank(contributions(present, idfs), k, None)
-    val sortedRanges = ranges.sortBy(_._1)
+    val sortedRanges = Bm25Index.coalesce(ranges)
 
     val essContribs = contributions(essential, idfs)
     val nonEssContribs = contributions(nonEssential.toSeq, idfs,
@@ -196,15 +200,38 @@ class Bm25Index(spark: SparkSession, dir: String) {
     // Block metadata of the rarest term: df/128 (first,last) ranges — bounded
     // and broadcastable (rare by definition). Other terms skip blocks whose
     // doc range cannot intersect any candidate.
-    val ranges = segments.filter($"term" === rarest)
+    val ranges = Bm25Index.coalesce(segments.filter($"term" === rarest)
       .flatMap(s => s.block_first.zip(s.block_last))
-      .collect().sortBy(_._1)
+      .collect())
     rank(contributions(terms, idfs, Some(ranges), rarest), k, Some(terms.size))
   }
 }
 
 object Bm25Index {
-  /** Does [first,last] overlap any of the sorted candidate ranges? */
+  /** Sort by start and merge overlapping/nested intervals so the binary
+    * search in [[overlaps]] sees disjoint ranges. Ranges pooled from several
+    * terms' blocks interleave and nest; searching them un-merged can falsely
+    * report "no overlap" (a probe landing inside a wide interval whose
+    * neighbors sort after it). Single-term block ranges are already disjoint
+    * and sorted, so coalescing is a cheap no-op there. */
+  def coalesce(ranges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    if (ranges.length <= 1) return ranges
+    val sorted = ranges.sortBy(_._1)
+    val out = Array.newBuilder[(Long, Long)]
+    var (cf, cl) = sorted(0)
+    var i = 1
+    while (i < sorted.length) {
+      val (f, l) = sorted(i)
+      if (f <= cl) { if (l > cl) cl = l }
+      else { out += ((cf, cl)); cf = f; cl = l }
+      i += 1
+    }
+    out += ((cf, cl))
+    out.result()
+  }
+
+  /** Does [first,last] overlap any of the sorted DISJOINT candidate ranges?
+    * (Callers must [[coalesce]] first.) */
   def overlaps(ranges: Array[(Long, Long)], first: Long, last: Long): Boolean = {
     var lo = 0
     var hi = ranges.length - 1

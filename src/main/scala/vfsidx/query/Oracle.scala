@@ -31,8 +31,11 @@ object Oracle {
     if (terms.isEmpty) return Seq.empty[Hit].toDF()
     val p = postings(docs).filter($"term".isin(terms: _*)).cache()
     val nDocs = docs.count().toDouble
+    // avgdl over ALL docs (zero-token docs included) — must equal the
+    // index's CorpusStats statistic sum(tf)/nDocs (IndexBuild.buildDerived)
+    // or scores diverge on corpora containing empty documents.
     val avgdl = IndexBuild.tokenize(docs).groupBy($"doc_id").agg(first($"dl").as("dl"))
-      .agg(avg($"dl")).as[Double].head()
+      .agg(sum($"dl")).as[Long].head().toDouble / nDocs
     val withIdf = p
       .join(p.groupBy($"term").agg(count(lit(1)).as("df")), "term")
       .withColumn("idf", log((lit(nDocs) - $"df" + 0.5) / ($"df" + 0.5) + 1.0))

@@ -96,6 +96,22 @@ class Bm25Spec extends SparkTestBase {
     }
   }
 
+  test("overlaps after coalesce handles interleaved/nested multi-term ranges") {
+    // regression: ranges pooled from several terms interleave; un-merged
+    // binary search missed a probe inside a wide early interval.
+    val pooled = Array((3L, 40000L), (7L, 39000L), (39500L, 81000L), (40012L, 80000L))
+    val merged = Bm25Index.coalesce(pooled)
+    assert(merged.toSeq == Seq((3L, 81000L)))
+    assert(Bm25Index.overlaps(merged, 39200L, 39400L))
+    assert(!Bm25Index.overlaps(merged, 81001L, 90000L))
+    assert(!Bm25Index.overlaps(merged, 0L, 2L))
+    // disjoint input is a no-op
+    val disjoint = Array((1L, 5L), (10L, 20L), (30L, 31L))
+    assert(Bm25Index.coalesce(disjoint).toSeq == disjoint.toSeq)
+    assert(Bm25Index.overlaps(disjoint, 6L, 10L))
+    assert(!Bm25Index.overlaps(disjoint, 6L, 9L))
+  }
+
   test("dictionary df equals distinct docs per term") {
     val dict = spark.read.parquet(IndexBuild.dictDir(dir))
     val fromRuns = Oracle.postings(docs).groupBy($"term").count()
