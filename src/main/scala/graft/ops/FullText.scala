@@ -2,10 +2,9 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import vfsidx.build.IndexBuild
+import vfsidx.build.{IndexBuild, NumericIndex, TrigramIndex}
 import vfsidx.corpus.{SourceFile, Synth}
-import vfsidx.query.Bm25Index
-import vfsidx.tokenize.Tokenizer
+import vfsidx.query.{Bm25Index, QueryParser}
 
 /** Full-text operators over the driver's `documents` table, answered by the
   * REAL vfsidx inverted index (built once per sf dir, cached) and
@@ -40,17 +39,25 @@ object FullText {
       }
   }
 
-  /** Build (or reuse) the inverted index for this sf dir. */
-  def index(s: SparkSession, dir: String): Bm25Index = {
-    val idxDir = cache.computeIfAbsent(dir, { d =>
+  /** Build (or reuse) the full per-sf-dir index set: BM25 word index at the
+    * root, trigram index under tri/text, numeric secondary index under
+    * num/n_chars — the reference's per-column `Regist` surface. Returns the
+    * index root. */
+  def indexRoot(s: SparkSession, dir: String): String =
+    cache.computeIfAbsent(dir, { d =>
       val out = java.nio.file.Files.createTempDirectory("graft_ftidx_").toString
       IndexBuild.build(s, asCorpus(s, d), out,
         IndexBuild.BuildConfig(numBatches = 2, numBuckets = 8,
           saltThreshold = 200, shardSize = 512))
+      QueryParser.buildIndexes(s, docs(s, d), "doc_id",
+        strCols = Seq("text"), numCols = Seq("n_chars"), root = out,
+        TrigramIndex.TriConfig(numBuckets = 8, saltThreshold = 200, shardSize = 512))
       out
     })
-    new Bm25Index(s, idxDir)
-  }
+
+  /** Build (or reuse) the inverted index for this sf dir. */
+  def index(s: SparkSession, dir: String): Bm25Index =
+    new Bm25Index(s, indexRoot(s, dir))
 
   /** BM25 top-10 through the index (dictionary lookup -> pruned segment
     * scan -> decode -> score -> bounded-heap top-k). Oracle: brute-force
@@ -74,27 +81,52 @@ object FullText {
       .limit(25)
   }
 
-  /** Substring search: trigram-key AND intersection (reference P3/P5
-    * semantics, /root/reference/search_finder.go:120-193) + containment
-    * recheck, so results equal true substring match. */
+  /** Substring search answered from the PERSISTED trigram index (reference
+    * P3/P5, /root/reference/index_file.go:1424-1615 +
+    * /root/reference/search_finder.go:120-193): dictionary lookup -> pruned
+    * segment scan -> rarest-key block skipping -> AND intersection ->
+    * containment recheck against only the candidate docs. No corpus
+    * re-tokenization at query time. */
   def trigramSearch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val needle = ContainsNeedle
-    val keys = Tokenizer.triKeys(needle)
-    val nKeys = keys.size
-    val d = docs(s, dir).select($"doc_id", $"text").as[(Long, String)]
-    val grams = d.flatMap { case (id, text) =>
-      Tokenizer.triKeys(text).distinct.map(k => (id, k))
-    }.toDF("doc_id", "gram")
-    val candidates = grams
-      .filter($"gram".isin(keys: _*))
-      .groupBy($"doc_id").agg(countDistinct($"gram").as("ng"))
-      .filter($"ng" === nKeys)
-      .select($"doc_id")
-    candidates.join(docs(s, dir), "doc_id")
-      .filter($"text".contains(needle))   // recheck: trigram-AND is necessary, not sufficient
+    val root = indexRoot(s, dir)
+    TrigramIndex.searchExact(s, QueryParser.triDir(root, "text"),
+        docs(s, dir), "doc_id", "text", ContainsNeedle)
       .select($"doc_id")
       .orderBy($"doc_id")
+  }
+
+  /** The reference query language executed against the indexes
+    * (/root/reference/search_cond.go:626-651): `search` -> trigram index,
+    * numeric range -> sorted secondary projection, every predicate
+    * re-applied on the candidates. */
+  val QueryLangExpr = """text.search("the batch") && n_chars >= 300 && n_chars < 600"""
+  def queryLang(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = indexRoot(s, dir)
+    QueryParser.queryIndexed(s, docs(s, dir), "doc_id", root, QueryLangExpr)
+      .select($"doc_id", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  /** Numeric secondary-index range lookup (reference P4 as an INDEX walk,
+    * /root/reference/index_file.go:1208-1422): value-sorted projection,
+    * parquet row-group [min,max] pruning stands in for segment key ranges. */
+  def numIndexRange(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = indexRoot(s, dir)
+    NumericIndex.range(s, root, "n_chars", Some(200L), Some(260L))
+      .orderBy($"doc_id")
+  }
+
+  /** Trigram-overlap similarity — the reference's `Nears` surface
+    * (/root/reference/search_cond.go:297-381), answered from the trigram
+    * index: rank docs by |triKeys(doc) ∩ triKeys(needle)|, exact (no
+    * stop-gram dropping), deterministic (overlap desc, doc_id asc). */
+  val NearsNeedle = "merge the data"
+  def nearsTopK(s: SparkSession, dir: String): DataFrame = {
+    val root = indexRoot(s, dir)
+    TrigramIndex.nears(s, QueryParser.triDir(root, "text"), NearsNeedle, 15)
   }
 
   /** Count of matches for one term (A1 Count, /root/reference/search_finder.go:325-332). */
@@ -129,6 +161,9 @@ object FullText {
     "ft_bm25_topk" -> (bm25TopK _),
     "ft_dictionary" -> (dictionaryTop _),
     "ft_trigram_search" -> (trigramSearch _),
+    "ft_query_lang" -> (queryLang _),
+    "ft_nears" -> (nearsTopK _),
+    "num_index_range" -> (numIndexRange _),
     "ft_count_term" -> (countTerm _),
     "ft_first_last" -> (firstLast _),
     "ft_cross_column" -> (crossColumn _))
@@ -161,6 +196,26 @@ object FullText {
         |GROUP BY 1 ORDER BY df DESC, term ASC LIMIT 25""".stripMargin,
     "ft_trigram_search" ->
       s"""SELECT doc_id FROM documents WHERE contains(text, '$ContainsNeedle') ORDER BY doc_id""",
+    "ft_query_lang" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE contains(text, 'the batch') AND n_chars >= 300 AND n_chars < 600
+        |ORDER BY doc_id""".stripMargin,
+    "ft_nears" -> {
+      // distinct 3-char windows of the needle, inlined (ASCII, so DuckDB
+      // substr windows coincide exactly with the engine's rune-trigram keys)
+      val grams = NearsNeedle.sliding(3).toSeq.distinct
+        .map(g => s"'${g.replace("'", "''")}'").mkString(", ")
+      s"""WITH nd AS (SELECT unnest([$grams]) AS g),
+         |dg AS (
+         |  SELECT DISTINCT doc_id, substr(text, i, 3) AS g
+         |  FROM documents, LATERAL (SELECT unnest(generate_series(1, len(text) - 2)) AS i) t)
+         |SELECT doc_id, count(*) AS overlap
+         |FROM dg JOIN nd USING (g)
+         |GROUP BY 1 ORDER BY overlap DESC, doc_id ASC LIMIT 15""".stripMargin
+    },
+    "num_index_range" ->
+      """SELECT doc_id FROM documents WHERE n_chars >= 200 AND n_chars < 260
+        |ORDER BY doc_id""".stripMargin,
     "ft_count_term" ->
       s"""SELECT count(*) AS n FROM documents
          |WHERE list_contains(string_split(text, ' '), '$CountTerm')""".stripMargin,

@@ -1,0 +1,218 @@
+package vfsidx.build
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import vfsidx.codec.VarByte
+import vfsidx.query.Bm25Index
+import vfsidx.tokenize.Tokenizer
+
+/** Ids-only posting segment for one (trigram key, shard). Same layout idea
+  * as [[SegmentRow]] minus the BM25 payload — substring search is pure
+  * membership. */
+final case class TriSegmentRow(
+    bucket: Int,
+    key: Long,
+    shard: Int,
+    count: Int,
+    postings: Array[Byte],
+    block_first: Array[Long],
+    block_last: Array[Long],
+    block_off: Array[Int])
+
+final case class TriDictRow(key: Long, df: Long)
+
+/** Persisted trigram (substring) index — the reference's core capability:
+  * per-value rune-trigram posting files merged into key-sorted segments
+  * (/root/reference/column.go:538-584, /root/reference/spec/index.fbs:22-29),
+  * looked up by 48-bit key with range pruning
+  * (/root/reference/index_file.go:1424-1615) and AND-intersected across the
+  * query's trigrams (/root/reference/search_finder.go:120-193).
+  *
+  * Spark restatement (same SPIMI shape as the word index in [[IndexBuild]]):
+  *
+  *   docs --flatMap distinctTriKeys--> tri_runs (key, doc_id)   [resumable]
+  *   tri_runs --groupBy(key)--> tri_dict (key, df)
+  *   tri_runs --repartition(key, shard) + sortWithinPartitions
+  *            --mapPartitions encodeIds--> tri_segments          [varbyte]
+  *
+  * Hot keys (common trigrams appear in nearly every doc — a harsher Zipf
+  * head than words) are sharded by doc range above `saltThreshold`, so no
+  * reducer or query task owns an unbounded list. Segments are written
+  * key-sorted within files, so the query-time `key isin(...)` filter gets
+  * parquet row-group pruning — the columnar equivalent of the reference's
+  * filename key ranges (/root/reference/index_file.go:1572-1594).
+  *
+  * Query = dictionary lookup -> pruned segment scan -> block-range skipping
+  * driven by the rarest key -> HAVING count(distinct key)=n intersection ->
+  * exact containment recheck against ONLY the candidate docs (trigram-AND is
+  * necessary, not sufficient). Strings shorter than 3 runes produce zero
+  * keys and match nothing — the reference's silent-drop rule
+  * (/root/reference/vfsindex_test.go:149-159).
+  */
+object TrigramIndex {
+
+  import IndexBuild.TableIO
+
+  def runsDir(dir: String) = s"$dir/tri_runs"
+  def dictDir(dir: String) = s"$dir/tri_dict"
+  def segmentsDir(dir: String) = s"$dir/tri_segments"
+
+  final case class TriConfig(
+      numBuckets: Int = 32,
+      saltThreshold: Long = 5000,
+      shardSize: Long = 4096)
+
+  def exists(spark: SparkSession, dir: String): Boolean =
+    TableIO.done(spark, segmentsDir(dir)) && TableIO.done(spark, dictDir(dir))
+
+  /** Build (or resume) the trigram index for `df(strCol)` keyed by
+    * `df(idCol)` (cast to long). Each stage is `_SUCCESS`-gated like the
+    * word-index build; incremental ingest would append tri_runs batches and
+    * re-run the derived stages exactly as [[IndexBuild.remerge]] does. */
+  def build(spark: SparkSession, df: DataFrame, idCol: String, strCol: String,
+            dir: String, cfg: TriConfig = TriConfig()): Unit = {
+    import spark.implicits._
+
+    if (!TableIO.done(spark, runsDir(dir))) {
+      val pairs = df.select(col(idCol).cast("long"), col(strCol).cast("string"))
+        .as[(Long, String)]
+        .flatMap { case (id, s) =>
+          Tokenizer.distinctTriKeys(if (s == null) "" else s).map(k => (k, id))
+        }
+        .toDF("key", "doc_id")
+      TableIO.write(pairs, runsDir(dir))
+    }
+    val runs = spark.read.parquet(runsDir(dir))
+
+    if (!TableIO.done(spark, dictDir(dir))) {
+      TableIO.write(runs.groupBy($"key").agg(count(lit(1)).as("df")), dictDir(dir))
+    }
+
+    if (!TableIO.done(spark, segmentsDir(dir))) {
+      // Zipf head is tiny (#keys with df > threshold < totalPostings/threshold)
+      val headKeys = spark.read.parquet(dictDir(dir))
+        .filter($"df" > cfg.saltThreshold)
+        .select($"key", lit(true).as("is_head"))
+      val shardSize = cfg.shardSize
+      val segs = runs
+        .join(broadcast(headKeys), Seq("key"), "left")
+        .withColumn("shard",
+          when($"is_head", ($"doc_id" / shardSize).cast("int")).otherwise(lit(0)))
+        .select($"key", $"doc_id", $"shard")
+        .repartition(cfg.numBuckets, $"key", $"shard")
+        .sortWithinPartitions($"key", $"shard", $"doc_id")
+        .as[(Long, Long, Int)]
+        .mapPartitions(encodePartition)
+      TableIO.write(segs.toDF(), segmentsDir(dir))
+    }
+  }
+
+  private def encodePartition(it: Iterator[(Long, Long, Int)]): Iterator[TriSegmentRow] = {
+    val bucket = org.apache.spark.TaskContext.getPartitionId()
+    new Iterator[TriSegmentRow] {
+      private val buf = it.buffered
+      def hasNext: Boolean = buf.hasNext
+      def next(): TriSegmentRow = {
+        val (key, _, shard) = buf.head
+        val ids = Array.newBuilder[Long]
+        while (buf.hasNext && buf.head._1 == key && buf.head._3 == shard) {
+          ids += buf.next()._2
+        }
+        val enc = VarByte.encodeIds(ids.result())
+        TriSegmentRow(bucket, key, shard, enc.count, enc.bytes,
+          enc.blockFirst, enc.blockLast, enc.blockOff)
+      }
+    }
+  }
+
+  /** Candidate doc_ids containing ALL trigram keys of `needle` — the
+    * reference's AND-intersection semantics (J1). Returns a one-column
+    * `doc_id` DataFrame; empty for needles under 3 runes or containing a
+    * key absent from the corpus. The rarest key's block [first,last] ranges
+    * drive block skipping on the other keys' lists. */
+  def searchCandidates(spark: SparkSession, dir: String, needle: String): DataFrame = {
+    import spark.implicits._
+    val keys = Tokenizer.triKeys(needle).distinct
+    if (keys.isEmpty)
+      return spark.emptyDataset[Long].toDF("doc_id")
+
+    val dict = spark.read.parquet(dictDir(dir))
+      .filter($"key".isin(keys: _*))
+      .as[TriDictRow].collect().map(r => r.key -> r.df).toMap
+    if (dict.size < keys.size)   // some trigram nowhere in the corpus -> AND empty
+      return spark.emptyDataset[Long].toDF("doc_id")
+
+    val segs = spark.read.parquet(segmentsDir(dir)).as[TriSegmentRow]
+      .filter($"key".isin(keys: _*))
+
+    val rarest = keys.minBy(dict)
+    val ranges = Bm25Index.coalesce(
+      segs.filter($"key" === rarest)
+        .flatMap(s => s.block_first.zip(s.block_last))
+        .collect())
+
+    val nKeys = keys.size
+    val decoded = segs.flatMap { s =>
+      val out = Array.newBuilder[(Long, Long)]
+      var bi = 0
+      while (bi < s.block_off.length) {
+        if (s.key == rarest ||
+            Bm25Index.overlaps(ranges, s.block_first(bi), s.block_last(bi))) {
+          val ids = VarByte.decodeIdsBlock(
+            s.postings, s.block_off(bi), VarByte.blockCount(s.count, bi))
+          var i = 0
+          while (i < ids.length) { out += ((s.key, ids(i))); i += 1 }
+        }
+        bi += 1
+      }
+      out.result()
+    }.toDF("key", "doc_id")
+
+    decoded.groupBy($"doc_id")
+      .agg(countDistinct($"key").as("nk"))
+      .filter($"nk" === nKeys)
+      .select($"doc_id")
+  }
+
+  /** True substring search: index candidates + exact containment recheck
+    * against only the candidate rows of `docs`. Identical results to a
+    * full-scan `contains` filter (differential-tested in TrigramIndexSpec). */
+  def searchExact(spark: SparkSession, dir: String, docs: DataFrame,
+                  idCol: String, strCol: String, needle: String): DataFrame = {
+    val cand = searchCandidates(spark, dir, needle)
+      .withColumnRenamed("doc_id", idCol)
+    docs.join(cand, idCol)
+      .filter(col(strCol).contains(needle))
+  }
+
+  /** Trigram-overlap similarity — the reference's `Nears` scoring surface
+    * (/root/reference/search_cond.go:297-381): rank docs by how many of the
+    * probe string's distinct trigram keys they contain. Unlike the
+    * reference's `filterByAvg` stop-gram pruning (lossy, drops high-df
+    * grams), this scores every key exactly; the top-k is a bounded
+    * per-partition heap (TakeOrderedAndProject). */
+  def nears(spark: SparkSession, dir: String, needle: String, k: Int): DataFrame = {
+    import spark.implicits._
+    val keys = Tokenizer.triKeys(needle).distinct
+    if (keys.isEmpty)
+      return spark.emptyDataset[(Long, Long)].toDF("doc_id", "overlap")
+    val segs = spark.read.parquet(segmentsDir(dir)).as[TriSegmentRow]
+      .filter($"key".isin(keys: _*))
+    segs.flatMap { s =>
+      val out = Array.newBuilder[Long]
+      var bi = 0
+      while (bi < s.block_off.length) {
+        val ids = VarByte.decodeIdsBlock(
+          s.postings, s.block_off(bi), VarByte.blockCount(s.count, bi))
+        var i = 0
+        while (i < ids.length) { out += ids(i); i += 1 }
+        bi += 1
+      }
+      out.result()
+    }.toDF("doc_id")
+      .groupBy($"doc_id")                      // (key, doc) pairs are unique
+      .agg(count(lit(1)).as("overlap"))
+      .orderBy($"overlap".desc, $"doc_id".asc)
+      .limit(k)
+  }
+}

@@ -139,4 +139,56 @@ object VarByte {
     val start = blockIdx * BlockSize
     math.min(BlockSize, count - start)
   }
+
+  // ---- ids-only variant (trigram / docs-that-contain-key postings) ----
+  // The trigram index stores pure membership — no tf/dl/norm — so postings
+  // are 1-2 bytes instead of 3+. Same block structure (delta restart per
+  // block, [first,last] skip metadata) as the scored codec above.
+
+  final case class EncodedIds(bytes: Array[Byte], count: Int,
+                              blockFirst: Array[Long], blockLast: Array[Long],
+                              blockOff: Array[Int])
+
+  /** Encode a strictly-ascending docId list. */
+  def encodeIds(docIds: Array[Long]): EncodedIds = {
+    val n = docIds.length
+    val out = new ByteArrayOutputStream(n * 2)
+    val bf = Array.newBuilder[Long]
+    val bl = Array.newBuilder[Long]
+    val bo = Array.newBuilder[Int]
+    var i = 0
+    var prev = 0L
+    var blockFirst = 0L
+    while (i < n) {
+      val d = docIds(i)
+      require(d > prev || i == 0, s"docIds must be strictly ascending: $prev -> $d at $i")
+      if (i % BlockSize == 0) {
+        if (i > 0) { bf += blockFirst; bl += prev; }
+        blockFirst = d
+        bo += out.size()
+        prev = 0L
+      }
+      writeVarLong(out, d - prev)
+      prev = d
+      i += 1
+    }
+    if (n > 0) { bf += blockFirst; bl += prev }
+    EncodedIds(out.toByteArray, n, bf.result(), bl.result(), bo.result())
+  }
+
+  /** Decode one ids-only block at `offset` holding `count` postings. */
+  def decodeIdsBlock(bytes: Array[Byte], offset: Int, count: Int): Array[Long] = {
+    val docIds = new Array[Long](count)
+    var pos = offset
+    var prev = 0L
+    var i = 0
+    while (i < count) {
+      var shift = 0; var v = 0L; var bb = 0
+      do { bb = bytes(pos) & 0xff; pos += 1; v |= (bb & 0x7fL) << shift; shift += 7 } while ((bb & 0x80) != 0)
+      prev += v
+      docIds(i) = prev
+      i += 1
+    }
+    docIds
+  }
 }

@@ -1,7 +1,8 @@
 package vfsidx.query
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import vfsidx.build.{NumericIndex, TrigramIndex}
 import vfsidx.tokenize.Tokenizer
 
 /** The reference's query language (PEG grammar /root/reference/expr/expr.peg:8-32,
@@ -92,4 +93,60 @@ object QueryParser {
     * First = limit(1), Count = count — SURVEY.md §3.3). */
   def query(df: DataFrame, q: String): DataFrame =
     parse(q).map(predicate).foldLeft(df)((d, p) => d.filter(p))
+
+  // ---- indexed execution -------------------------------------------------
+
+  def triDir(root: String, col: String) = s"$root/tri/$col"
+
+  /** Build the per-column index set consulted by [[queryIndexed]]:
+    * a trigram index per string column, a sorted numeric projection per
+    * numeric column — the reference's per-column `Regist` indexes
+    * (/root/reference/indexer.go:77-93), one directory per column. */
+  def buildIndexes(spark: SparkSession, df: DataFrame, idCol: String,
+                   strCols: Seq[String], numCols: Seq[String], root: String,
+                   triCfg: TrigramIndex.TriConfig = TrigramIndex.TriConfig()): Unit = {
+    strCols.foreach(c => TrigramIndex.build(spark, df, idCol, c, triDir(root, c), triCfg))
+    numCols.foreach(c => NumericIndex.build(spark, df, idCol, c, root))
+  }
+
+  /** Indexed execution of the reference query language — the dispatch the
+    * reference performs in SearchCond.Query (/root/reference/search_cond.go:626-651
+    * -> index_file.go:801-935): `col.search("s")` consults the column's
+    * trigram index, numeric `==`/range predicates consult the numeric
+    * secondary index, and anything un-indexed stays a scan predicate.
+    *
+    * Exactness by construction: the indexes only produce CANDIDATE doc_ids
+    * (intersected across indexed conjuncts, then semi-joined to the table);
+    * every parsed predicate — including the containment recheck — is
+    * re-applied on the candidate rows, so the result is row-identical to
+    * the brute-force [[query]] path (differential-tested in QueryParserSpec).
+    * With no indexable conjunct this degrades to [[query]].
+    */
+  def queryIndexed(spark: SparkSession, df: DataFrame, idCol: String,
+                   indexRoot: String, q: String): DataFrame = {
+    val exprs = parse(q)
+    val candSets: Seq[DataFrame] = exprs.flatMap {
+      case Search(c, s) if TrigramIndex.exists(spark, triDir(indexRoot, c)) &&
+          Tokenizer.triKeys(s).nonEmpty =>
+        Some(TrigramIndex.searchCandidates(spark, triDir(indexRoot, c), s))
+      case Cmp(c, "==", Left(v)) if NumericIndex.exists(spark, indexRoot, c) =>
+        Some(NumericIndex.point(spark, indexRoot, c, v))
+      case Cmp(c, op, Left(v)) if (op == "<" || op == "<=" || op == ">" || op == ">=") &&
+          NumericIndex.exists(spark, indexRoot, c) =>
+        Some(op match {
+          case "<"  => NumericIndex.range(spark, indexRoot, c, None, Some(v), hiInclusive = false)
+          case "<=" => NumericIndex.range(spark, indexRoot, c, None, Some(v), hiInclusive = true)
+          case ">"  => NumericIndex.range(spark, indexRoot, c, Some(v), None, loInclusive = false)
+          case ">=" => NumericIndex.range(spark, indexRoot, c, Some(v), None, loInclusive = true)
+        })
+      case _ => None
+    }
+    val base =
+      if (candSets.isEmpty) df
+      else {
+        val ids = candSets.reduce((a, b) => a.join(b, "doc_id"))
+        df.join(ids.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_semi")
+      }
+    exprs.map(predicate).foldLeft(base)((d, p) => d.filter(p))
+  }
 }

@@ -117,6 +117,36 @@ object Tokenizer {
   def str2keys(s: String): Seq[Long] =
     s.split(' ').toSeq.flatMap(triKeys)
 
+  /** Distinct [[triKeys]] of a document, allocation-light: BMP-only windows
+    * (the overwhelmingly common case) pack 3×16-bit code points directly —
+    * identical to parsing the reference's "%04x%04x%04x" hex — and only
+    * windows containing a supplementary-plane rune fall back to the string
+    * encoding (where the reference's variable-width hex concat is NOT plain
+    * bit-shifting). Parity with `triKeys(s).distinct` is property-tested.
+    * This is the index-build hot path: it runs over every byte of the corpus. */
+  def distinctTriKeys(s: String): Array[Long] = {
+    val cps = s.codePoints().toArray
+    if (cps.length < 3) return Array.emptyLongArray
+    val seen = new java.util.HashSet[java.lang.Long](math.min(cps.length * 2, 1 << 16))
+    val out = Array.newBuilder[Long]
+    var i = 0
+    while (i <= cps.length - 3) {
+      val a = cps(i); val b = cps(i + 1); val c = cps(i + 2)
+      if (a <= 0xffff && b <= 0xffff && c <= 0xffff) {
+        val k = (a.toLong << 32) | (b.toLong << 16) | c.toLong
+        if (seen.add(k)) out += k
+      } else {
+        val hexs = f"$a%04x$b%04x$c%04x"
+        if (hexs.length <= 16) {
+          val k = java.lang.Long.parseUnsignedLong(hexs, 16)
+          if (seen.add(k)) out += k
+        }
+      }
+      i += 1
+    }
+    out.result()
+  }
+
   /** Word shingles for near-dup detection (n consecutive whitespace tokens). */
   def shingles(text: String, n: Int): Seq[String] = {
     val ws = text.split("\\s+").filter(_.nonEmpty)

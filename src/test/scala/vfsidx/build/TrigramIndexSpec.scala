@@ -1,0 +1,135 @@
+package vfsidx.build
+
+import org.apache.spark.sql.functions._
+import vfsidx.SparkTestBase
+import vfsidx.query.QueryParser
+import vfsidx.tokenize.Tokenizer
+
+/** The persisted trigram index must answer substring search identically to
+  * a full-scan `contains` filter — including on the reference's Japanese
+  * fixture strings and its <3-rune silent-drop rule
+  * (/root/reference/vfsindex_test.go:149-159) — and `queryIndexed` must be
+  * row-identical to the brute-force `query` path on every expression. */
+class TrigramIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // mixed corpus: ASCII code-ish lines, Japanese titles (reference fixture
+  // vocabulary), planted needles, an empty string, a supplementary-plane rune
+  private lazy val rows: Seq[(Long, String, Long)] = {
+    val rng = new scala.util.Random(1234)
+    val words = Vector("index", "merge", "search", "batch", "the", "data",
+      "query", "record", "val", "int", "return", "if")
+    val base = (0L until 400L).map { i =>
+      val n = 5 + rng.nextInt(20)
+      val text = Seq.fill(n)(words(rng.nextInt(words.size))).mkString(" ")
+      (i, text, (i * 7) % 100)
+    }
+    base ++ Seq(
+      (400L, "鬼滅の刃 吾峠呼世晴による日本の漫画作品", 400L),
+      (401L, "警視庁 日本の警察組織のひとつ", 401L),
+      (402L, "桶狭間の戦い 戦国時代の合戦", 402L),
+      (403L, "", 403L),
+      (404L, "emoji 😀 in the middle of the batch", 404L),
+      (405L, "ab", 405L))
+  }
+
+  private lazy val df = rows.toDF("doc_id", "text", "num").cache()
+
+  private lazy val root = {
+    val d = tmpDir("triidx")
+    QueryParser.buildIndexes(spark, df, "doc_id",
+      strCols = Seq("text"), numCols = Seq("num"), root = d,
+      TrigramIndex.TriConfig(numBuckets = 4, saltThreshold = 100, shardSize = 64))
+    d
+  }
+  private def triDir = QueryParser.triDir(root, "text")
+
+  private def indexed(needle: String): Seq[Long] =
+    TrigramIndex.searchExact(spark, triDir, df, "doc_id", "text", needle)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+
+  private def scanned(needle: String): Seq[Long] =
+    df.filter($"text".contains(needle)).select($"doc_id").as[Long].collect().sorted.toSeq
+
+  test("distinctTriKeys == triKeys.distinct on random unicode (parity property)") {
+    val rng = new scala.util.Random(99)
+    val alphabets = Array("abc xyz_09", "鬼滅の刃警視庁", "😀😁a ")
+    for (_ <- 0 until 500) {
+      val alpha = alphabets(rng.nextInt(alphabets.length))
+      val cps = alpha.codePoints().toArray
+      val n = rng.nextInt(12)
+      val sb = new StringBuilder
+      for (_ <- 0 until n) sb.appendAll(Character.toChars(cps(rng.nextInt(cps.length))))
+      val s = sb.toString
+      assert(Tokenizer.distinctTriKeys(s).toSeq == Tokenizer.triKeys(s).distinct,
+        s"mismatch on '$s'")
+    }
+  }
+
+  test("indexed substring search == full-scan contains on ASCII needles") {
+    for (needle <- Seq("the batch", "merge", "index merge", "data query", "zzz_nowhere"))
+      assert(indexed(needle) == scanned(needle), s"needle '$needle'")
+  }
+
+  test("indexed substring search == full-scan contains on Japanese needles") {
+    for (needle <- Seq("鬼滅の", "日本の", "戦国時代", "警視庁 日本"))
+      assert(indexed(needle) == scanned(needle), s"needle '$needle'")
+  }
+
+  test("needles under 3 runes match NOTHING (reference silent-drop rule)") {
+    // scan would match these; the index path pins the reference semantics
+    assert(scanned("ab").nonEmpty)
+    assert(indexed("ab").isEmpty)
+    assert(indexed("の").isEmpty)
+    assert(indexed("").isEmpty)
+  }
+
+  test("supplementary-plane runes round-trip through the key encoding") {
+    assert(indexed("😀 in") == Seq(404L))
+  }
+
+  test("hot trigram keys were sharded (skew handling exercised)") {
+    val segs = spark.read.parquet(TrigramIndex.segmentsDir(triDir))
+    assert(segs.groupBy("key").count().filter($"count" > 1).count() > 0,
+      "expected at least one head key split into doc-range shards")
+  }
+
+  test("nears overlap ranking matches brute force") {
+    val needle = "merge the data"
+    val got = TrigramIndex.nears(spark, triDir, needle, 10)
+      .as[(Long, Long)].collect().toSeq
+    val nd = Tokenizer.triKeys(needle).distinct.toSet
+    val expected = rows.map { case (id, text, _) =>
+      (id, Tokenizer.distinctTriKeys(text).count(nd.contains).toLong)
+    }.filter(_._2 > 0)
+      .sortBy { case (id, ov) => (-ov, id) }
+      .take(10)
+    assert(got == expected)
+  }
+
+  test("queryIndexed == brute-force query on mixed expressions") {
+    val exprs = Seq(
+      """text.search("the batch")""",
+      """text.search("the batch") && num >= 30 && num < 80""",
+      """text.search("鬼滅の") && doc_id == 400""",
+      """num == 44""",
+      """doc_id >= 100 && doc_id < 120""",
+      """text.search("ab")""")   // <3 runes -> empty on BOTH paths
+    for (e <- exprs) {
+      val a = QueryParser.queryIndexed(spark, df, "doc_id", root, e)
+        .orderBy($"doc_id").collect().toSeq
+      val b = QueryParser.query(df, e).orderBy($"doc_id").collect().toSeq
+      assert(a == b, s"expr: $e")
+    }
+  }
+
+  test("resume: rebuilding over existing _SUCCESS dirs is a no-op (identical segments)") {
+    val before = spark.read.parquet(TrigramIndex.segmentsDir(triDir))
+      .agg(count(lit(1)), sum(length($"postings"))).collect().toSeq
+    TrigramIndex.build(spark, df, "doc_id", "text", triDir,
+      TrigramIndex.TriConfig(numBuckets = 4, saltThreshold = 100, shardSize = 64))
+    val after = spark.read.parquet(TrigramIndex.segmentsDir(triDir))
+      .agg(count(lit(1)), sum(length($"postings"))).collect().toSeq
+    assert(before == after)
+  }
+}

@@ -83,4 +83,23 @@ class VarByteSpec extends AnyFunSuite {
     val enc = VarByte.encode(Array.empty, Array.empty, Array.empty, 1.0)
     assert(enc.bytes.isEmpty && enc.blocks.isEmpty && enc.count == 0)
   }
+
+  test("ids-only codec: per-block decode reproduces the list, blocks cover it") {
+    val rng = new scala.util.Random(23)
+    for (_ <- 0 until 200) {
+      val (ids, _, _) = randomPostings(rng)
+      val enc = VarByte.encodeIds(ids)
+      assert(enc.blockFirst.length == enc.blockOff.length)
+      assert(enc.blockLast.length == enc.blockOff.length)
+      val all = enc.blockOff.indices.flatMap { bi =>
+        val cnt = VarByte.blockCount(enc.count, bi)
+        val dec = VarByte.decodeIdsBlock(enc.bytes, enc.blockOff(bi), cnt)
+        assert(dec.head == enc.blockFirst(bi) && dec.last == enc.blockLast(bi))
+        dec
+      }
+      assert(all == ids.toSeq)
+    }
+    val empty = VarByte.encodeIds(Array.emptyLongArray)
+    assert(empty.bytes.isEmpty && empty.count == 0 && empty.blockOff.isEmpty)
+  }
 }
