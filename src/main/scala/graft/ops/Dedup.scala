@@ -24,6 +24,7 @@ object Dedup {
   val ShingleN = 3
   val NumHashes = 12      // minhash signature length
   val BandRows = 3        // rows per LSH band -> 4 bands
+  val BandCap = 16        // max docs paired per (band, bkey) bucket — see minhashLsh
   val JaccardThreshold = 0.12   // LSH verify threshold (pair space)
   val ProbeThreshold = 0.015    // probe-query threshold (random corpus: max ≈ 0.026)
   val ProbeDoc = 0L
@@ -66,33 +67,53 @@ object Dedup {
 
   /** MinHash signature entry i of a doc = min over its shingles of
     * md5(i || ':' || shingle) (lexicographic min of hex strings — portable
-    * across engines). LSH: concat [[BandRows]] signature entries per band,
-    * md5 -> band key; docs sharing a band key are candidate pairs; verify
-    * candidates with exact Jaccard. Returns verified near-dup pairs. */
+    * across engines, so the whole pipeline incl. banding is DuckDB-oracled).
+    * LSH: concat [[BandRows]] signature entries per band, md5 -> band key;
+    * docs sharing a band key are candidate pairs; verify candidates with
+    * exact Jaccard. Returns verified near-dup pairs.
+    *
+    * Scale guards:
+    *  - '''bucket cap''': only the [[BandCap]] lowest-doc_id docs of a
+    *    (band, bkey) bucket pair up. A degenerate band key (thousands of
+    *    boilerplate-identical docs) otherwise goes quadratic inside its
+    *    bucket and OOMs one task. Deterministic (doc_id order), mirrored
+    *    exactly in the SQL oracle via row_number(). Identical docs beyond
+    *    the cap are exact duplicates — [[exact]] dedup's job, not LSH's.
+    *  - '''no cached shingle explosion''': the verify step semi-joins the
+    *    shingle stream down to candidate docs only (a tiny broadcast set)
+    *    instead of caching ~10x the corpus in executor memory. */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = shingleDF(s, dir).cache()
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleDF(s, dir)
     // (doc_id, i, minhash_i)
     val hashIdx = (0 until NumHashes).map(lit(_))
     val sig = sh
       .select($"doc_id", explode(array(hashIdx: _*)).as("i"), $"sh")
       .withColumn("h", md5(concat($"i".cast("string"), lit(":"), $"sh")))
       .groupBy($"doc_id", $"i").agg(min($"h").as("mh"))
-    val nBands = NumHashes / BandRows
     val bands = sig
       .withColumn("band", ($"i" / BandRows).cast("int"))
       .groupBy($"doc_id", $"band")
       .agg(md5(concat_ws("|", sort_array(collect_list(struct($"i", $"mh"))).getField("mh"))).as("bkey"))
-    val cand = bands.as("a").join(bands.as("b"),
+    val capped = bands
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"band", $"bkey").orderBy($"doc_id")))
+      .filter($"rn" <= BandCap)
+      .select($"doc_id", $"band", $"bkey")
+    val cand = capped.as("a").join(capped.as("b"),
         $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
       .distinct()
-    // verify candidates with exact Jaccard
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    // verify candidates with exact Jaccard over candidate docs' shingles only
+    val candDocs = cand.select($"d1".as("doc_id"))
+      .union(cand.select($"d2".as("doc_id"))).distinct()
+    val shC = sh.join(broadcast(candDocs), "doc_id")
+    val sizes = shC.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = cand
-      .join(sh.toDF("d1", "sh"), "d1")
-      .join(sh.toDF("d2", "sh"), Seq("d2", "sh"))
+      .join(shC.toDF("d1", "sh"), "d1")
+      .join(shC.toDF("d2", "sh"), Seq("d2", "sh"))
       .groupBy($"d1", $"d2").agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.toDF("d1", "n1"), "d1")
@@ -151,6 +172,39 @@ object Dedup {
          |FROM inter i JOIN sz ON i.doc_id = sz.doc_id
          |WHERE c * 1.0 / (sz.n + (SELECT n FROM sz WHERE doc_id = $ProbeDoc) - c) >= $ProbeThreshold
          |ORDER BY i.doc_id""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+         |  FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) t
+         |  WHERE len(ws) >= $ShingleN),
+         |sig AS (
+         |  SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) AS mh
+         |  FROM sh, LATERAL (SELECT unnest(generate_series(0, ${NumHashes - 1})) AS i) t
+         |  GROUP BY 1, 2),
+         |bands AS (
+         |  SELECT doc_id, i // $BandRows AS band,
+         |         md5(string_agg(mh, '|' ORDER BY i)) AS bkey
+         |  FROM sig GROUP BY 1, 2),
+         |capped AS (
+         |  SELECT doc_id, band, bkey
+         |  FROM bands
+         |  QUALIFY row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) <= $BandCap),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM capped a JOIN capped b USING (band, bkey)
+         |  WHERE a.doc_id < b.doc_id),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT d1, d2, count(*) AS c
+         |  FROM cand
+         |  JOIN sh s1 ON s1.doc_id = cand.d1
+         |  JOIN sh s2 ON s2.doc_id = cand.d2 AND s2.s = s1.s
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2, round(c * 1.0 / (z1.n + z2.n - c), 6) AS jac
+         |FROM inter JOIN sz z1 ON z1.doc_id = d1 JOIN sz z2 ON z2.doc_id = d2
+         |WHERE c * 1.0 / (z1.n + z2.n - c) >= $JaccardThreshold
+         |ORDER BY d1, d2""".stripMargin,
     "dedup_simhash" ->
       """WITH w AS (
         |  SELECT doc_id, substr(md5(unnest(string_split(text, ' '))), 1, 4) AS h4
@@ -165,6 +219,4 @@ object Dedup {
         |  FROM bits GROUP BY 1, 2)
         |SELECT doc_id, CAST(sum(bit * (1 << j)) AS INT) AS simhash
         |FROM voted GROUP BY 1 ORDER BY 1""".stripMargin)
-  // dedup_minhash_lsh: no SQL oracle (banding is not reasonably expressible);
-  // differential-tested in DedupSpec against exact all-pairs Jaccard.
 }

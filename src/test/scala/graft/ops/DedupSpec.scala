@@ -59,6 +59,20 @@ class DedupSpec extends SparkTestBase {
       s"missing=${expected -- got} spurious=${got -- expected}")
   }
 
+  test("degenerate bucket: 1k identical docs stay bounded by the band cap") {
+    // one hot band key (boilerplate-identical corpus) must NOT go quadratic:
+    // only the BandCap lowest doc_ids pair up -> C(cap,2) pairs, all jac=1.
+    val d = tmpDir("dedupdegen")
+    (0 until 1000).map(i => (i.toLong, "the same boilerplate license header text repeated verbatim"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Dedup.minhashLsh(spark, d)
+      .select($"d1", $"d2").as[(Long, Long)].collect()
+    val cap = Dedup.BandCap
+    assert(got.length == cap * (cap - 1) / 2, s"expected C($cap,2) pairs, got ${got.length}")
+    assert(got.forall { case (a, b) => a < cap && b < cap && a < b })
+  }
+
   test("exact dedup groups exact copies under the smallest doc_id") {
     val res = Dedup.exact(spark, dir)
       .filter($"n_copies" > 1)
