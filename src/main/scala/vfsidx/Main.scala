@@ -13,8 +13,17 @@ import vfsidx.query.Bm25Index
   *   vfsidx.Main build <indexDir> [nDocs]          synthesize corpus + build index
   *   vfsidx.Main search <indexDir> <query...>      BM25 top-10 (OR)
   *   vfsidx.Main searchand <indexDir> <query...>   BM25 top-10 (AND intersection)
+  *   vfsidx.Main regist <table> <root> <idCol> <strCols> <numCols>
+  *                                                 build per-column trigram/numeric
+  *                                                 indexes (comma-separated cols)
   *   vfsidx.Main query <parquetTable> <expr>       reference query language, e.g.
   *                                                 'title.search("x") && id == 3'
+  *
+  * Global flags:
+  *   --output=json|csv    stream results as JSON lines / RFC-4180 CSV
+  *                        (reference S9, /root/reference/search_finder.go:426-488)
+  *   --index=<root>       `query` executes against the indexes under <root>
+  *                        (built with `regist`) instead of a full scan
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -30,7 +39,18 @@ object Main {
     try run(spark, args) finally spark.stop()
   }
 
-  def run(spark: SparkSession, args: Array[String]): Unit = args.toList match {
+  private def flag(args: Array[String], name: String): Option[String] =
+    args.collectFirst { case s if s.startsWith(s"--$name=") => s.stripPrefix(s"--$name=") }
+
+  def run(spark: SparkSession, allArgs: Array[String]): Unit = {
+    val output = flag(allArgs, "output").getOrElse("plain")
+    val indexRoot = flag(allArgs, "index")
+    val args = allArgs.filterNot(_.startsWith("--"))
+    dispatch(spark, args, output, indexRoot)
+  }
+
+  def dispatch(spark: SparkSession, args: Array[String], output: String,
+               indexRoot: Option[String]): Unit = args.toList match {
     case "build" :: dir :: rest =>
       val n = rest.headOption.map(_.toLong).getOrElse(10000L)
       val t0 = System.nanoTime()
@@ -43,10 +63,18 @@ object Main {
       val q = qparts.mkString(" ")
       val idx = new Bm25Index(spark, dir)
       val t0 = System.nanoTime()
-      val hits = (if (mode == "search") idx.topKOr(q, 10) else idx.topKAnd(q, 10)).collect()
-      val ms = (System.nanoTime() - t0) / 1e6
-      println(f"query [$q] (${mode.stripPrefix("search")}) -> ${hits.length} hits in $ms%.0f ms")
-      hits.foreach(r => println(f"  doc=${r.getLong(0)}%-8d score=${r.getDouble(1)}%.6f"))
+      val res = if (mode == "search") idx.topKOr(q, 10) else idx.topKAnd(q, 10)
+      if (output == "plain") {
+        val hits = res.collect()
+        val ms = (System.nanoTime() - t0) / 1e6
+        println(f"query [$q] (${mode.stripPrefix("search")}) -> ${hits.length} hits in $ms%.0f ms")
+        hits.foreach(r => println(f"  doc=${r.getLong(0)}%-8d score=${r.getDouble(1)}%.6f"))
+      } else vfsidx.query.ResultEncoder.emit(res, output)
+    case "regist" :: table :: root :: idCol :: strCols :: numCols :: Nil =>
+      val df = spark.read.parquet(table)
+      def cols(s: String) = s.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+      vfsidx.query.QueryParser.buildIndexes(spark, df, idCol, cols(strCols), cols(numCols), root)
+      println(s"registered indexes for $table -> $root (tri: $strCols, num: $numCols)")
     case "indexjson" :: dir :: dataDir :: rest =>
       // the reference's `vfs-index index --data=<dir>` over JSON files
       val contentField = rest.headOption.getOrElse("content")
@@ -60,12 +88,22 @@ object Main {
       val expr = exprParts.mkString(" ")
       val df = spark.read.parquet(table)
       val t0 = System.nanoTime()
-      val rows = vfsidx.query.QueryParser.query(df, expr).limit(20).collect()
-      val ms = (System.nanoTime() - t0) / 1e6
-      println(f"query [$expr] -> ${rows.length} rows in $ms%.0f ms")
-      rows.foreach(r => println("  " + r.mkString(" | ").take(120)))
+      val res = indexRoot match {
+        case Some(root) =>
+          // primary key column heuristic: doc_id if present, else first col
+          val idCol = if (df.columns.contains("doc_id")) "doc_id" else df.columns.head
+          vfsidx.query.QueryParser.queryIndexed(spark, df, idCol, root, expr)
+        case None => vfsidx.query.QueryParser.query(df, expr)
+      }
+      if (output == "plain") {
+        val rows = res.limit(20).collect()
+        val ms = (System.nanoTime() - t0) / 1e6
+        println(f"query [$expr] -> ${rows.length} rows in $ms%.0f ms" +
+          indexRoot.fold("")(r => s" (indexed via $r)"))
+        rows.foreach(r => println("  " + r.mkString(" | ").take(120)))
+      } else vfsidx.query.ResultEncoder.emit(res, output)
     case _ =>
-      System.err.println("usage: build <dir> [nDocs] | search <dir> <query...> | searchand <dir> <query...> | query <table> <expr>")
+      System.err.println("usage: build <dir> [nDocs] | search <dir> <query...> | searchand <dir> <query...> | regist <table> <root> <idCol> <strCols> <numCols> | query <table> <expr> [--index=<root>] [--output=json|csv]")
       sys.exit(2)
   }
 }
