@@ -174,15 +174,29 @@ object TrigramIndex {
       .select($"doc_id")
   }
 
+  /** Bounded-collect threshold for the point-lookup fast path below. */
+  val IsinCap = 5000
+
   /** True substring search: index candidates + exact containment recheck
     * against only the candidate rows of `docs`. Identical results to a
-    * full-scan `contains` filter (differential-tested in TrigramIndexSpec). */
+    * full-scan `contains` filter (differential-tested in TrigramIndexSpec).
+    *
+    * Row materialization strategy (the reference's by-address record fetch,
+    * /root/reference/search_finder.go:200-240, restated for a columnar
+    * table): when the candidate set is small (≤ [[IsinCap]], the common
+    * case for selective needles) the ids are inlined as an `In` literal
+    * filter — pushed to the parquet scan, so a doc_id-ordered corpus table
+    * reads only the row groups holding candidates. Larger candidate sets
+    * fall back to a distributed semi-join (never collected). */
   def searchExact(spark: SparkSession, dir: String, docs: DataFrame,
                   idCol: String, strCol: String, needle: String): DataFrame = {
+    import spark.implicits._
     val cand = searchCandidates(spark, dir, needle)
-      .withColumnRenamed("doc_id", idCol)
-    docs.join(cand, idCol)
-      .filter(col(strCol).contains(needle))
+    val capped = cand.limit(IsinCap + 1).as[Long].collect()
+    val prefiltered =
+      if (capped.length <= IsinCap) docs.filter(col(idCol).isin(capped.toIndexedSeq: _*))
+      else docs.join(cand.withColumnRenamed("doc_id", idCol), idCol)
+    prefiltered.filter(col(strCol).contains(needle))
   }
 
   /** Trigram-overlap similarity — the reference's `Nears` scoring surface
