@@ -120,9 +120,58 @@ object Similarity {
       .limit(K)
   }
 
+  val NList = 8    // IVF coarse-quantizer cells
+  val NProbe = 2   // cells probed per query
+
+  /** IVF (inverted-file) ANN — the classic coarse-quantizer scale path:
+    *
+    *   1. centroids = the embeddings of [[NList]] fixed vec_ids (data-derived
+    *      and deterministic, so DuckDB reproduces them; a production build
+    *      would k-means these — the *plan shape* is identical);
+    *   2. assignment: every vector -> argmax-cosine centroid (a narrow map
+    *      of NList codegen'd dot products; the cell id is the partition/
+    *      cluster key at 10^12 rows);
+    *   3. query: rank centroids by cosine to the probe, exact-score ONLY the
+    *      vectors assigned to the top-[[NProbe]] cells.
+    *
+    * Ties broken (rounded cosine desc, centroid id asc) on both engines. */
+  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).withColumn("emb", transform($"embedding", _.cast("double")))
+    val cents: Seq[(Long, Array[Double])] = e
+      .filter($"vec_id" >= 1L && $"vec_id" <= NList.toLong)
+      .select($"vec_id", $"emb").as[(Long, Array[Double])]
+      .collect().sortBy(_._1).toSeq
+    def cNorm(c: Array[Double]) = math.sqrt(c.map(x => x * x).sum)
+    def cosTo(c: Array[Double]): Column =
+      dot($"emb", typedLit(c.toSeq)) / (l2($"emb") * lit(cNorm(c)))
+    // argmax cell: struct max over (rounded cos, -centroid_id)
+    val cellStructs = cents.map { case (cid, c) =>
+      struct(round(cosTo(c), 9).as("cos"), lit(-cid).as("negc"))
+    }
+    val assigned = e.select($"vec_id", $"emb",
+      (array_max(array(cellStructs: _*)).getField("negc") * -1).as("cell"))
+    // probe cells on the driver: NList dot products over one collected row
+    val probeEmb = e.filter($"vec_id" === ProbeVec)
+      .select($"emb").as[Array[Double]].head()
+    val pNorm = cNorm(probeEmb)
+    val probeCells = cents.map { case (cid, c) =>
+      val cos = c.indices.map(i => c(i) * probeEmb(i)).sum / (cNorm(c) * pNorm)
+      (BigDecimal(cos).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble, cid)
+    }.sortBy { case (cos, cid) => (-cos, cid) }.take(NProbe).map(_._2)
+    val q = e.filter($"vec_id" === ProbeVec).select($"emb".as("q"), l2($"emb").as("qn"))
+    assigned
+      .filter($"cell".isin(probeCells: _*) && $"vec_id" =!= ProbeVec)
+      .crossJoin(broadcast(q))
+      .select($"vec_id", round(round(dot($"emb", $"q") / (l2($"emb") * $"qn"), 9), 4).as("cos"))
+      .orderBy($"cos".desc, $"vec_id".asc)
+      .limit(K)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> (cosineTopK _),
-    "ann_lsh_topk" -> (lshTopK _))
+    "ann_lsh_topk" -> (lshTopK _),
+    "ann_ivf_topk" -> (ivfTopK _))
 
   val oracleSql: Map[String, String] = Map(
     "ann_cosine_topk" ->
@@ -163,6 +212,34 @@ object Similarity {
          |cand AS (
          |  SELECT DISTINCT b.vec_id FROM bands b JOIN probe USING (band, bval)
          |  WHERE b.vec_id <> $ProbeVec),
+         |q AS (SELECT i, v AS qv FROM f WHERE vec_id = $ProbeVec),
+         |sc AS (
+         |  SELECT f.vec_id,
+         |    sum(f.v * q.qv) / (sqrt(sum(f.v * f.v)) * sqrt(sum(q.qv * q.qv))) AS cos
+         |  FROM f JOIN q USING (i) JOIN cand ON cand.vec_id = f.vec_id GROUP BY 1)
+         |SELECT vec_id, round(round(cos, 9), 4) AS cos FROM sc
+         |ORDER BY round(round(cos, 9), 4) DESC, vec_id ASC LIMIT $K""".stripMargin,
+    // IVF: centroids are rows 1..NList of the table itself, so the whole
+    // coarse-quantizer pipeline is reproducible in SQL
+    "ann_ivf_topk" ->
+      s"""WITH f AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |         CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings),
+         |cent AS (SELECT vec_id AS c, i, v AS cv FROM f WHERE vec_id BETWEEN 1 AND $NList),
+         |cos_vc AS (
+         |  SELECT f.vec_id, c,
+         |    round(sum(v * cv) / (sqrt(sum(v * v)) * sqrt(sum(cv * cv))), 9) AS cvc
+         |  FROM f JOIN cent USING (i) GROUP BY 1, 2),
+         |assign AS (
+         |  SELECT vec_id, c AS cell FROM cos_vc
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cvc DESC, c ASC) = 1),
+         |probecells AS (
+         |  SELECT c AS cell FROM cos_vc WHERE vec_id = $ProbeVec
+         |  QUALIFY row_number() OVER (ORDER BY cvc DESC, c ASC) <= $NProbe),
+         |cand AS (
+         |  SELECT vec_id FROM assign JOIN probecells USING (cell)
+         |  WHERE vec_id <> $ProbeVec),
          |q AS (SELECT i, v AS qv FROM f WHERE vec_id = $ProbeVec),
          |sc AS (
          |  SELECT f.vec_id,

@@ -54,6 +54,7 @@ object TrigramIndex {
   import IndexBuild.TableIO
 
   def runsDir(dir: String) = s"$dir/tri_runs"
+  def runsBatchDir(dir: String, batch: Int) = s"$dir/tri_runs/batch=$batch"
   def dictDir(dir: String) = s"$dir/tri_dict"
   def segmentsDir(dir: String) = s"$dir/tri_segments"
 
@@ -65,24 +66,64 @@ object TrigramIndex {
   def exists(spark: SparkSession, dir: String): Boolean =
     TableIO.done(spark, segmentsDir(dir)) && TableIO.done(spark, dictDir(dir))
 
+  /** (key, doc_id) postings runs for one docs slice — stage-1 unit. */
+  private def tokenizeRuns(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(strCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, s) =>
+        Tokenizer.distinctTriKeys(if (s == null) "" else s).map(k => (k, id))
+      }
+      .toDF("key", "doc_id")
+  }
+
+  private def allRuns(spark: SparkSession, dir: String): DataFrame = {
+    val runsPath = new org.apache.hadoop.fs.Path(runsDir(dir))
+    val fs = runsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batches = fs.listStatus(runsPath)
+      .filter(_.getPath.getName.startsWith("batch="))
+      .map(_.getPath.toString).sorted
+    require(batches.nonEmpty, s"no tri_runs batches under ${runsDir(dir)}")
+    spark.read.parquet(batches.toIndexedSeq: _*)
+  }
+
   /** Build (or resume) the trigram index for `df(strCol)` keyed by
     * `df(idCol)` (cast to long). Each stage is `_SUCCESS`-gated like the
-    * word-index build; incremental ingest would append tri_runs batches and
-    * re-run the derived stages exactly as [[IndexBuild.remerge]] does. */
+    * word-index build; [[ingestBatch]] + [[remerge]] extend it
+    * incrementally. */
   def build(spark: SparkSession, df: DataFrame, idCol: String, strCol: String,
             dir: String, cfg: TriConfig = TriConfig()): Unit = {
-    import spark.implicits._
+    if (!TableIO.done(spark, runsBatchDir(dir, 0)))
+      TableIO.write(tokenizeRuns(df, idCol, strCol), runsBatchDir(dir, 0))
+    buildDerived(spark, dir, cfg)
+  }
 
-    if (!TableIO.done(spark, runsDir(dir))) {
-      val pairs = df.select(col(idCol).cast("long"), col(strCol).cast("string"))
-        .as[(Long, String)]
-        .flatMap { case (id, s) =>
-          Tokenizer.distinctTriKeys(if (s == null) "" else s).map(k => (k, id))
-        }
-        .toDF("key", "doc_id")
-      TableIO.write(pairs, runsDir(dir))
+  /** Incremental ingest (the reference's re-`Regist` over new data files,
+    * /root/reference/indexer.go:77-93): append one postings batch for
+    * `newDocs`; idempotent per batchId. [[remerge]] folds all batches into
+    * fresh segments. */
+  def ingestBatch(spark: SparkSession, newDocs: DataFrame, idCol: String,
+                  strCol: String, dir: String, batchId: Int): Unit = {
+    val bDir = runsBatchDir(dir, batchId)
+    if (!TableIO.done(spark, bDir))
+      TableIO.write(tokenizeRuns(newDocs, idCol, strCol), bDir)
+  }
+
+  /** Recompute dict + segments from ALL runs batches on disk — compaction
+    * (reference M4/M8). Hadoop-FS deletes, so it works on HDFS/S3 too. */
+  def remerge(spark: SparkSession, dir: String, cfg: TriConfig = TriConfig()): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    Seq(dictDir(dir), segmentsDir(dir)).foreach { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(hconf)
+      if (fs.exists(path)) fs.delete(path, true)
     }
-    val runs = spark.read.parquet(runsDir(dir))
+    buildDerived(spark, dir, cfg)
+  }
+
+  private def buildDerived(spark: SparkSession, dir: String, cfg: TriConfig): Unit = {
+    import spark.implicits._
+    lazy val runs = allRuns(spark, dir)
 
     if (!TableIO.done(spark, dictDir(dir))) {
       TableIO.write(runs.groupBy($"key").agg(count(lit(1)).as("df")), dictDir(dir))

@@ -64,6 +64,23 @@ class IncrementalSpec extends SparkTestBase {
       again.map(c => (c.doc_id, c.sha256)).toSeq)
   }
 
+  test("LZ4-compressed JSON-lines ingest transparently (reference S3)") {
+    // the reference decompresses .lz4 JSON before indexing
+    // (/root/reference/util.go:174-212); Spark's text readers do the same
+    // via the Hadoop codec inferred from the file extension.
+    val dir = tmpDir("ingest_lz4")
+    val codec = new org.apache.hadoop.io.compress.Lz4Codec()
+    codec.setConf(spark.sparkContext.hadoopConfiguration)
+    val out = codec.createOutputStream(
+      new java.io.FileOutputStream(s"$dir/data.json.lz4"))
+    val rows = (0 until 40).map(i => s"""{"content": "lzword$i alpha beta"}""")
+    out.write(rows.mkString("\n").getBytes("UTF-8"))
+    out.close()
+    val corpus = Ingest.json(spark, dir, "content").collect().sortBy(_.doc_id)
+    assert(corpus.length == 40)
+    assert(corpus.map(_.content).toSet == (0 until 40).map(i => s"lzword$i alpha beta").toSet)
+  }
+
   test("CSV ingestion with header sniffing (reference S2)") {
     val dir = tmpDir("ingest_csv")
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/test.1.csv"),

@@ -123,6 +123,29 @@ class TrigramIndexSpec extends SparkTestBase {
     }
   }
 
+  test("incremental: ingest new docs + remerge == fresh build over the union") {
+    val d = tmpDir("triinc")
+    val half = df.filter($"doc_id" < 200)
+    val rest = df.filter($"doc_id" >= 200)
+    val cfg = TrigramIndex.TriConfig(numBuckets = 4, saltThreshold = 100, shardSize = 64)
+    TrigramIndex.build(spark, half, "doc_id", "text", d, cfg)
+    TrigramIndex.ingestBatch(spark, rest, "doc_id", "text", d, batchId = 1)
+    TrigramIndex.remerge(spark, d, cfg)
+    for (needle <- Seq("the batch", "鬼滅の", "😀 in", "merge")) {
+      val inc = TrigramIndex.searchExact(spark, d, df, "doc_id", "text", needle)
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+      assert(inc == scanned(needle), s"needle '$needle'")
+    }
+    // idempotent re-ingest: same batch id is skipped, remerge output identical
+    val before = spark.read.parquet(TrigramIndex.segmentsDir(d))
+      .agg(count(lit(1)), sum(length($"postings"))).collect().toSeq
+    TrigramIndex.ingestBatch(spark, rest, "doc_id", "text", d, batchId = 1)
+    TrigramIndex.remerge(spark, d, cfg)
+    val after = spark.read.parquet(TrigramIndex.segmentsDir(d))
+      .agg(count(lit(1)), sum(length($"postings"))).collect().toSeq
+    assert(before == after)
+  }
+
   test("resume: rebuilding over existing _SUCCESS dirs is a no-op (identical segments)") {
     val before = spark.read.parquet(TrigramIndex.segmentsDir(triDir))
       .agg(count(lit(1)), sum(length($"postings"))).collect().toSeq
