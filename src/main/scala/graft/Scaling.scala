@@ -26,6 +26,9 @@ object Scaling {
     case "measure" :: cores :: nDocs :: Nil =>
       val r = measure(cores.toInt, nDocs.toLong)
       println(f"""{"cores":${r.cores},"build_sec":${r.buildSec}%.2f,"docs_per_sec":${r.docsPerSec}%.0f,"query_sec":${r.querySec}%.4f}""")
+    case "measuretri" :: cores :: nDocs :: Nil =>
+      val r = measureTri(cores.toInt, nDocs.toLong)
+      println(f"""{"cores":${r.cores},"build_sec":${r.buildSec}%.2f,"docs_per_sec":${r.docsPerSec}%.0f,"query_sec":${r.querySec}%.4f}""")
     case "report" :: nDocs :: t8 :: q8 :: t32 :: q32 :: rest =>
       val n = nDocs.toLong
       report(n, Run(8, t8.toDouble, n / t8.toDouble, q8.toDouble),
@@ -69,22 +72,21 @@ object Scaling {
     spark.stop()
   }
 
-  def measure(cores: Int, nDocs: Long): Run = {
-    {
-      // The PLAN is held constant across parallelism levels (same shuffle
-      // partition count, same buckets, same input splits) — only the number
-      // of executors varies. GRAFT_SCALE_MODE=cluster uses local-cluster
-      // mode: cores/4 separate executor JVMs x 4 cores each, the closest
-      // sandbox analog of "N executors vs 4N executors" (separate heaps =
-      // per-executor GC/allocator isolation, like a real cluster; a single
-      // 32-thread JVM is NOT how Spark deploys).
+  /** One SparkSession per measurement, plan held constant across
+    * parallelism levels (same shuffle partition count, same buckets, same
+    * input splits) — only the number of executors varies.
+    * GRAFT_SCALE_MODE=cluster uses local-cluster mode: cores/execCores
+    * separate executor JVMs, the closest sandbox analog of "N executors vs
+    * 4N executors" (separate heaps = per-executor GC/allocator isolation,
+    * like a real cluster; a single 32-thread JVM is NOT how Spark deploys). */
+  private def scalingSession(cores: Int): SparkSession = {
       val execCores = sys.env.getOrElse("GRAFT_EXEC_CORES", "4").toInt
       val master =
         if (sys.env.get("GRAFT_SCALE_MODE").contains("cluster") && cores >= execCores)
           s"local-cluster[${cores / execCores},$execCores,6144]"
         else s"local[$cores]"
       val appClasses = new java.io.File("target/scala-2.13/classes").getAbsolutePath
-      val spark = SparkSession.builder()
+      SparkSession.builder()
         .master(master)
         .config("spark.executor.memory", "6g")
         .config("spark.executor.extraClassPath", appClasses)
@@ -114,6 +116,11 @@ object Scaling {
         // that no amount of cores can beat.
         .config("spark.local.dir", sys.env.getOrElse("GRAFT_SCALE_TMP", "/tmp"))
         .getOrCreate()
+  }
+
+  def measure(cores: Int, nDocs: Long): Run = {
+    {
+      val spark = scalingSession(cores)
       spark.sparkContext.setLogLevel("WARN")
       val base = java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_SCALE_TMP", "/tmp"))
       val dir = java.nio.file.Files.createTempDirectory(base, s"scale_${cores}_").toString
@@ -144,6 +151,34 @@ object Scaling {
       spark.stop()
       Run(cores, buildSec, nDocs / buildSec, querySec)
     }
+  }
+
+  /** Same protocol for the TRIGRAM index build (the round-2 pipeline):
+    * corpus table materialized untimed, then TrigramIndex.build timed, then
+    * steady-state substring-search latency. */
+  def measureTri(cores: Int, nDocs: Long): Run = {
+    val spark = scalingSession(cores)
+    spark.sparkContext.setLogLevel("WARN")
+    val base = java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_SCALE_TMP", "/tmp"))
+    val dir = java.nio.file.Files.createTempDirectory(base, s"scale_tri_${cores}_").toString
+    vfsidx.corpus.Synth.corpus(spark, nDocs, 64)
+      .write.parquet(s"$dir/corpus")
+    val corpus = spark.read.parquet(s"$dir/corpus")
+      .select("doc_id", "content")
+    spark.range(0, 1000000, 1, 64).selectExpr("sum(id)").collect() // executor warmup
+    val t0 = System.nanoTime()
+    vfsidx.build.TrigramIndex.build(spark, corpus, "doc_id", "content", dir,
+      vfsidx.build.TrigramIndex.TriConfig(
+        numBuckets = 32, saltThreshold = nDocs / 10, shardSize = 4096))
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    vfsidx.build.TrigramIndex.searchExact(spark, dir, corpus, "doc_id", "content",
+      "merge(").collect() // warm codegen
+    val q0 = System.nanoTime()
+    for (needle <- Seq("def tokenize", "needle_17", "return count"))
+      vfsidx.build.TrigramIndex.searchExact(spark, dir, corpus, "doc_id", "content", needle).collect()
+    val querySec = (System.nanoTime() - q0) / 1e9 / 3
+    spark.stop()
+    Run(cores, buildSec, nDocs / buildSec, querySec)
   }
 
   def report(nDocs: Long, n: Run, n4: Run, outMd: String): Unit = {

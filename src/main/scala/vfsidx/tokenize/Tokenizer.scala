@@ -100,6 +100,14 @@ object Tokenizer {
       else Some(java.lang.Long.parseUnsignedLong(hexs, 16))
     }
 
+  /** 48-bit key -> 12-hex-digit filename/key form (reference
+    * /root/reference/util.go:88-90, `fmt.Sprintf("%012x", i)`). */
+  def keyToHex(v: Long): String = f"$v%012x"
+
+  /** Inverse of [[keyToHex]] (accepts any hex length the reference's
+    * ParseUint(16,64) accepts). */
+  def hexToKey(s: String): Long = java.lang.Long.parseUnsignedLong(s, 16)
+
   /** 48-bit key -> 3-rune string (reference DecodeTri,
     * /root/reference/util.go:76-83). */
   def decodeTri(v: Long): String = {

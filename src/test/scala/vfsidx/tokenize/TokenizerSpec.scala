@@ -29,6 +29,13 @@ class TokenizerSpec extends AnyFunSuite {
     assert(Tokenizer.encodeTri("").isEmpty)
   }
 
+  test("keyToHex pins the reference's %012x key form (F2) and round-trips") {
+    val k = Tokenizer.triKeys("好きな").head
+    assert(Tokenizer.keyToHex(k) == "597d304d306a")
+    assert(Tokenizer.hexToKey(Tokenizer.keyToHex(k)) == k)
+    assert(Tokenizer.keyToHex(0xffL) == "0000000000ff") // zero-padded to 12
+  }
+
   test("str2keys splits on space then encodes (reference str2keys)") {
     assert(Tokenizer.str2keys("好きな の") == Tokenizer.triKeys("好きな"))
   }
