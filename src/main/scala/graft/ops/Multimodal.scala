@@ -41,8 +41,32 @@ object Multimodal {
       .orderBy($"doc_id", $"frame_idx")
   }
 
+  /** Resize planning over the synthetic binary assets: decode header dims,
+    * aspect-fit into a 64-square (integer math — the real logic of a resize
+    * stage; pixel resampling is the stubbed part, see
+    * [[vfsidx.multimodal.BinaryDecode.resize]] for the typed mapPartitions
+    * twin tested in BinaryDecodeSpec). */
+  val ResizeBox = 64
+  def resizePlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .withColumn("h", md5($"text"))
+      .withColumn("width", expr(hexByte("h", 1)).cast("int"))
+      .withColumn("height", expr(hexByte("h", 3)).cast("int"))
+      .withColumn("m", greatest($"width", $"height"))
+      .withColumn("out_w",
+        when($"m" <= ResizeBox, $"width")
+          .otherwise(greatest(lit(1), expr(s"(width * $ResizeBox) div m"))).cast("int"))
+      .withColumn("out_h",
+        when($"m" <= ResizeBox, $"height")
+          .otherwise(greatest(lit(1), expr(s"(height * $ResizeBox) div m"))).cast("int"))
+      .select($"doc_id", $"width", $"height", $"out_w", $"out_h")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_frame_sample" -> (frameSample _))
+    "mm_frame_sample" -> (frameSample _),
+    "mm_resize" -> (resizePlan _))
 
   val oracleSql: Map[String, String] = Map(
     "mm_frame_sample" ->
@@ -58,5 +82,18 @@ object Multimodal {
          |  FROM m)
          |SELECT doc_id, width, height, payload_len,
          |  CAST(unnest(generate_series(0, n_frames - 1)) AS INT) AS frame_idx
-         |FROM meta ORDER BY doc_id, frame_idx""".stripMargin)
+         |FROM meta ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_resize" ->
+      s"""WITH meta AS (
+         |  SELECT doc_id,
+         |    CAST(${hexByte("md5(text)", 1)} AS INT) AS width,
+         |    CAST(${hexByte("md5(text)", 3)} AS INT) AS height
+         |  FROM documents),
+         |m2 AS (SELECT *, greatest(width, height) AS m FROM meta)
+         |SELECT doc_id, width, height,
+         |  CAST(CASE WHEN m <= $ResizeBox THEN width
+         |       ELSE greatest(1, (width * $ResizeBox) // m) END AS INT) AS out_w,
+         |  CAST(CASE WHEN m <= $ResizeBox THEN height
+         |       ELSE greatest(1, (height * $ResizeBox) // m) END AS INT) AS out_h
+         |FROM m2 ORDER BY doc_id""".stripMargin)
 }

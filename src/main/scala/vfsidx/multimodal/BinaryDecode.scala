@@ -51,6 +51,33 @@ object BinaryDecode {
       }
       out
     }
+
+    /** Aspect-ratio-preserving fit into a `box`-square: the real arithmetic
+      * of a resize step (the pixel resample itself is the stubbed part).
+      * Integer math so every engine agrees exactly. */
+    def fitWithin(w: Int, h: Int, box: Int): (Int, Int) = {
+      require(w > 0 && h > 0 && box > 0)
+      if (w <= box && h <= box) (w, h)
+      else {
+        val m = math.max(w, h)
+        (math.max(1, w * box / m), math.max(1, h * box / m))
+      }
+    }
+  }
+
+  /** Resize plan: decode header -> compute target dims -> (stub) resample.
+    * One narrow mapPartitions pass, no shuffle. */
+  final case class Resized(asset_id: Long, width: Int, height: Int,
+                           out_w: Int, out_h: Int)
+  def resize(assets: Dataset[Asset], box: Int): Dataset[Resized] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val m = StubCodec.parseHeader(a.payload)
+        val (ow, oh) = StubCodec.fitWithin(m.width, m.height, box)
+        Resized(a.asset_id, m.width, m.height, ow, oh)
+      }
+    }
   }
 
   def decodeMeta(assets: Dataset[Asset]): Dataset[DecodedMeta] = {

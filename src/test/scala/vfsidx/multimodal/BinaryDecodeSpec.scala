@@ -29,6 +29,25 @@ class BinaryDecodeSpec extends SparkTestBase {
     }
   }
 
+  test("resize preserves aspect ratio within integer truncation and respects the box") {
+    val box = 16
+    val out = BinaryDecode.resize(assets, box).collect()
+    assert(out.length == 50)
+    out.foreach { r =>
+      assert(r.out_w >= 1 && r.out_h >= 1)
+      if (r.width <= box && r.height <= box) {
+        assert(r.out_w == r.width && r.out_h == r.height)   // no upscaling
+      } else {
+        assert(r.out_w <= box && r.out_h <= box)
+        assert(r.out_w == box || r.out_h == box)            // long edge hits the box
+        // aspect ratio preserved within integer truncation
+        val expW = math.max(1, r.width * box / math.max(r.width, r.height))
+        val expH = math.max(1, r.height * box / math.max(r.width, r.height))
+        assert(r.out_w == expW && r.out_h == expH)
+      }
+    }
+  }
+
   test("metadata-only query does not require payload decode to fail on short rows") {
     // schema-level: payload stays binary, metadata queries select around it
     val df = assets.toDF().select($"asset_id", $"kind")
