@@ -186,19 +186,24 @@ object TrigramIndex {
     val segs = spark.read.parquet(segmentsDir(dir)).as[TriSegmentRow]
       .filter($"key".isin(keys: _*))
 
+    // Rarest key's block [first,last] ranges drive skipping on the other
+    // keys' lists. Bounded driver collect (like Bm25Index.topKOr): past the
+    // cap we fall back to decoding every pruned-scan block — correctness is
+    // the HAVING intersection below either way.
     val rarest = keys.minBy(dict)
-    val ranges = Bm25Index.coalesce(
-      segs.filter($"key" === rarest)
-        .flatMap(s => s.block_first.zip(s.block_last))
-        .collect())
+    val rawRanges = segs.filter($"key" === rarest)
+      .flatMap(s => s.block_first.zip(s.block_last))
+      .limit(200001).collect()
+    val ranges: Option[Array[(Long, Long)]] =
+      if (rawRanges.length > 200000) None else Some(Bm25Index.coalesce(rawRanges))
 
     val nKeys = keys.size
     val decoded = segs.flatMap { s =>
       val out = Array.newBuilder[(Long, Long)]
       var bi = 0
       while (bi < s.block_off.length) {
-        if (s.key == rarest ||
-            Bm25Index.overlaps(ranges, s.block_first(bi), s.block_last(bi))) {
+        if (s.key == rarest || ranges.isEmpty ||
+            Bm25Index.overlaps(ranges.get, s.block_first(bi), s.block_last(bi))) {
           val ids = VarByte.decodeIdsBlock(
             s.postings, s.block_off(bi), VarByte.blockCount(s.count, bi))
           var i = 0
