@@ -112,10 +112,13 @@ object Dedup {
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
       .distinct()
-    // verify candidates with exact Jaccard over candidate docs' shingles only
+    // verify candidates with exact Jaccard over candidate docs' shingles
+    // only — a semi-join prune (AQE broadcasts it when small; an explicit
+    // broadcast hint would OOM on a dup-heavy corpus where candidates are
+    // a large fraction of the table)
     val candDocs = cand.select($"d1".as("doc_id"))
       .union(cand.select($"d2".as("doc_id"))).distinct()
-    val shC = sh.join(broadcast(candDocs), "doc_id")
+    val shC = sh.join(candDocs, Seq("doc_id"), "left_semi")
     val sizes = shC.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = cand
       .join(shC.toDF("d1", "sh"), "d1")
