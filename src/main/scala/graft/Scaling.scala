@@ -115,6 +115,9 @@ object Scaling {
         // sandbox's single cloud disk would otherwise impose a serial floor
         // that no amount of cores can beat.
         .config("spark.local.dir", sys.env.getOrElse("GRAFT_SCALE_TMP", "/tmp"))
+        // bandwidth/CPU trade knob for bandwidth-bound stages (A/B via env)
+        .config("spark.sql.parquet.compression.codec",
+          sys.env.getOrElse("GRAFT_PARQUET_CODEC", "snappy"))
         .getOrCreate()
   }
 

@@ -132,11 +132,49 @@ object Tokenizer {
     * encoding (where the reference's variable-width hex concat is NOT plain
     * bit-shifting). Parity with `triKeys(s).distinct` is property-tested.
     * This is the index-build hot path: it runs over every byte of the corpus. */
+  /** Open-addressing primitive long set — the dedup structure of the
+    * trigram-build hot loop. A boxed java.util.HashSet allocates one
+    * java.lang.Long per insert (billions per build); this allocates two
+    * arrays per DOCUMENT. Sentinel -1 is safe: trigram keys are never
+    * negative (a 16-hex-digit key can only start with code point 0x100000+
+    * whose hex starts "10", top nibble 1). */
+  private final class LongSet(expected: Int) {
+    private var cap = Integer.highestOneBit(math.max(16, expected * 2) - 1) << 1
+    private var mask = cap - 1
+    private var table = {
+      val t = new Array[Long](cap); java.util.Arrays.fill(t, -1L); t
+    }
+    private var size = 0
+    def add(k: Long): Boolean = {
+      var i = (java.lang.Long.hashCode(k) * 0x9e3779b9) & mask
+      while (true) {
+        val v = table(i)
+        if (v == k) return false
+        if (v == -1L) {
+          table(i) = k
+          size += 1
+          if (size * 4 > cap * 3) grow()
+          return true
+        }
+        i = (i + 1) & mask
+      }
+      false
+    }
+    private def grow(): Unit = {
+      val old = table
+      cap <<= 1; mask = cap - 1; size = 0
+      table = new Array[Long](cap); java.util.Arrays.fill(table, -1L)
+      var j = 0
+      while (j < old.length) { if (old(j) != -1L) add(old(j)); j += 1 }
+    }
+  }
+
   def distinctTriKeys(s: String): Array[Long] = {
     val cps = s.codePoints().toArray
     if (cps.length < 3) return Array.emptyLongArray
-    val seen = new java.util.HashSet[java.lang.Long](math.min(cps.length * 2, 1 << 16))
+    val seen = new LongSet(math.min(cps.length, 1 << 15))
     val out = Array.newBuilder[Long]
+    out.sizeHint(cps.length - 2)
     var i = 0
     while (i <= cps.length - 3) {
       val a = cps(i); val b = cps(i + 1); val c = cps(i + 2)
