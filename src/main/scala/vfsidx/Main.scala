@@ -76,14 +76,14 @@ object Main {
       vfsidx.query.QueryParser.buildIndexes(spark, df, idCol, cols(strCols), cols(numCols), root)
       println(s"registered indexes for $table -> $root (tri: $strCols, num: $numCols)")
     case "indexjson" :: dir :: dataDir :: rest =>
-      // the reference's `vfs-index index --data=<dir>` over JSON files
+      // the reference's `vfs-index index --data=<dir>` over JSON files;
+      // re-running diffs the directory against the ingest catalog and
+      // indexes only NEW files (dirty-detection refresh, M1/M2)
       val contentField = rest.headOption.getOrElse("content")
-      val corpus = vfsidx.corpus.Ingest.json(spark, dataDir, contentField)
       val t0 = System.nanoTime()
-      vfsidx.build.IndexBuild.build(spark, corpus, dir,
-        vfsidx.build.IndexBuild.BuildConfig(numBatches = 1, numBuckets = 8))
+      val (nFiles, nNew) = vfsidx.corpus.Ingest.refreshJson(spark, dir, dataDir, contentField)
       val n = spark.read.parquet(vfsidx.build.IndexBuild.docStatsDir(dir)).count()
-      println(f"indexed $n docs from $dataDir in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $dir")
+      println(f"refreshed: $nFiles new files / $nNew new docs from $dataDir in ${(System.nanoTime() - t0) / 1e9}%.1f s; index now covers $n docs -> $dir")
     case "query" :: table :: exprParts if exprParts.nonEmpty =>
       val expr = exprParts.mkString(" ")
       val df = spark.read.parquet(table)

@@ -91,10 +91,22 @@ object TrigramIndex {
     * `df(idCol)` (cast to long). Each stage is `_SUCCESS`-gated like the
     * word-index build; [[ingestBatch]] + [[remerge]] extend it
     * incrementally. */
+  private val verbose = sys.env.contains("GRAFT_BUILD_VERBOSE")
+  @inline private def timed[A](name: String)(f: => A): A = {
+    if (!verbose) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"TRI-STAGE $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+  }
+
   def build(spark: SparkSession, df: DataFrame, idCol: String, strCol: String,
             dir: String, cfg: TriConfig = TriConfig()): Unit = {
-    if (!TableIO.done(spark, runsBatchDir(dir, 0)))
+    if (!TableIO.done(spark, runsBatchDir(dir, 0))) timed("tri_runs") {
       TableIO.write(tokenizeRuns(df, idCol, strCol), runsBatchDir(dir, 0))
+    }
     buildDerived(spark, dir, cfg)
   }
 
@@ -125,11 +137,11 @@ object TrigramIndex {
     import spark.implicits._
     lazy val runs = allRuns(spark, dir)
 
-    if (!TableIO.done(spark, dictDir(dir))) {
+    if (!TableIO.done(spark, dictDir(dir))) timed("tri_dict") {
       TableIO.write(runs.groupBy($"key").agg(count(lit(1)).as("df")), dictDir(dir))
     }
 
-    if (!TableIO.done(spark, segmentsDir(dir))) {
+    if (!TableIO.done(spark, segmentsDir(dir))) timed("tri_segments") {
       // Zipf head is tiny (#keys with df > threshold < totalPostings/threshold)
       val headKeys = spark.read.parquet(dictDir(dir))
         .filter($"df" > cfg.saltThreshold)

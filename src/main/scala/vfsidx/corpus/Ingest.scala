@@ -19,18 +19,20 @@ import org.apache.spark.sql.functions._
   */
 object Ingest {
 
-  /** Attach dense doc_id + sha256(content) to any (content-bearing) frame.
-    * Typed Dataset transforms only (no RDD): both passes run over the same
-    * deterministic file-scan plan, so partition ids line up. */
+  /** Attach dense doc_id + sha256(content) to any (content-bearing) frame,
+    * starting at `idOffset` (0 for a fresh corpus; the current doc count for
+    * incremental refresh batches). Typed Dataset transforms only (no RDD):
+    * both passes run over the same deterministic file-scan plan, so
+    * partition ids line up. */
   def toCorpus(df: DataFrame, contentCol: String,
-               repo: String = "ingest"): Dataset[SourceFile] = {
+               repo: String = "ingest", idOffset: Long = 0L): Dataset[SourceFile] = {
     val spark = df.sparkSession
     import spark.implicits._
     val contents = df.select(col(contentCol).cast("string")).as[String]
     val counts = contents.mapPartitions { it =>
       Iterator.single((org.apache.spark.TaskContext.getPartitionId(), it.size.toLong))
     }.collect().sortBy(_._1).map(_._2)
-    val offsets = counts.scanLeft(0L)(_ + _)
+    val offsets = counts.scanLeft(idOffset)(_ + _)
     val bc = spark.sparkContext.broadcast(offsets)
     contents.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -50,4 +52,65 @@ object Ingest {
   /** CSV with header sniffing (reference S2, /root/reference/indexer.go:225-233). */
   def csv(spark: SparkSession, path: String, contentCol: String): Dataset[SourceFile] =
     toCorpus(spark.read.option("header", "true").csv(path), contentCol)
+
+  // ---- incremental directory refresh (the reference's re-Regist, M1/M2) --
+
+  def catalogDir(indexDir: String) = s"$indexDir/ingest_catalog"
+
+  final case class CatalogRow(file_path: String, batch_id: Int,
+                              n_docs: Long, doc_id_base: Long)
+
+  /** Re-register a JSON/JSONL data directory against an index: list the
+    * directory, diff against the ingest catalog, tokenize ONLY the new files
+    * as a fresh postings batch (doc_ids continue after the existing corpus),
+    * remerge, and record them — the reference's dirty-detection refresh
+    * (`vfs-index index -data=<dir>` re-run, /root/reference/indexer.go:77-93,
+    * /root/reference/column.go:167-176). Idempotent: no new files = no work.
+    * Returns (newFiles, newDocs). */
+  def refreshJson(spark: SparkSession, indexDir: String, dataDir: String,
+                  contentCol: String,
+                  cfg: vfsidx.build.IndexBuild.BuildConfig = vfsidx.build.IndexBuild.BuildConfig(numBatches = 1, numBuckets = 8)): (Int, Long) = {
+    import spark.implicits._
+    import vfsidx.build.IndexBuild
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dataPath = new org.apache.hadoop.fs.Path(dataDir)
+    val fs = dataPath.getFileSystem(hconf)
+    val files = fs.listStatus(dataPath)
+      .filter(_.isFile)
+      .map(_.getPath.toString)
+      .filter(p => p.endsWith(".json") || p.endsWith(".jsonl") ||
+        p.endsWith(".ndjson") || p.endsWith(".json.lz4"))
+      .sorted
+    val catPath = new org.apache.hadoop.fs.Path(catalogDir(indexDir))
+    val catFs = catPath.getFileSystem(hconf)
+    val cat: Seq[CatalogRow] =
+      if (catFs.exists(catPath))
+        spark.read.parquet(catalogDir(indexDir)).as[CatalogRow].collect().toSeq
+      else Seq.empty
+    val seen = cat.map(_.file_path).toSet
+    val newFiles = files.filterNot(seen)
+    if (newFiles.isEmpty) return (0, 0L)
+
+    val batchId = if (cat.isEmpty) 0 else cat.map(_.batch_id).max + 1
+    // n_docs is the BATCH total, repeated on each of the batch's file rows
+    val docBase = cat.map(r => (r.batch_id, r.n_docs)).distinct.map(_._2).sum
+    val corpus = toCorpus(
+      spark.read.option("multiLine", "false").json(newFiles.toIndexedSeq: _*),
+      contentCol, repo = s"refresh/batch=$batchId", idOffset = docBase).cache()
+    val nNew = corpus.count()
+    // refresh batches are numbered by catalog batch_id, so the initial build
+    // must occupy exactly runs/batch=0
+    if (cat.isEmpty) IndexBuild.build(spark, corpus, indexDir, cfg.copy(numBatches = 1))
+    else {
+      IndexBuild.ingestBatch(spark, corpus, indexDir, batchId)
+      IndexBuild.remerge(spark, indexDir, cfg)
+    }
+    // one catalog row per file would need per-file counts; the refresh unit
+    // is the batch, so record the batch's files with the batch totals
+    IndexBuild.TableIO.append(
+      newFiles.map(f => CatalogRow(f, batchId, nNew, docBase)).toSeq.toDF(),
+      catalogDir(indexDir))
+    corpus.unpersist()
+    (newFiles.length, nNew)
+  }
 }

@@ -64,6 +64,31 @@ class IncrementalSpec extends SparkTestBase {
       again.map(c => (c.doc_id, c.sha256)).toSeq)
   }
 
+  test("directory refresh indexes only NEW files and extends doc_ids (reference re-Regist)") {
+    val data = tmpDir("refresh_data")
+    val idx = tmpDir("refresh_idx")
+    def writeFile(name: String, words: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$data/$name"),
+        words.map(w => s"""{"content": "$w shared corpus"}""").mkString("\n").getBytes("UTF-8"))
+    writeFile("a.json", Seq("alpha", "beta"))
+    writeFile("b.json", Seq("gamma"))
+    val (f1, d1) = Ingest.refreshJson(spark, idx, data, "content", cfg)
+    assert(f1 == 2 && d1 == 3)
+    // no new files -> no-op
+    assert(Ingest.refreshJson(spark, idx, data, "content", cfg) == ((0, 0L)))
+    // add a file -> only it is ingested; ids continue past the old corpus
+    writeFile("c.json", Seq("delta", "epsilon"))
+    val (f2, d2) = Ingest.refreshJson(spark, idx, data, "content", cfg)
+    assert(f2 == 1 && d2 == 2)
+    val ids = spark.read.parquet(IndexBuild.docStatsDir(idx))
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == (0L until 5L))
+    // every doc findable through the merged index
+    val idx2 = new Bm25Index(spark, idx)
+    for ((w, expected) <- Seq("alpha" -> 1, "gamma" -> 1, "epsilon" -> 1, "shared" -> 5))
+      assert(idx2.topKOr(w, 10).count() == expected, s"term $w")
+  }
+
   test("LZ4-compressed JSON-lines ingest transparently (reference S3)") {
     // the reference decompresses .lz4 JSON before indexing
     // (/root/reference/util.go:174-212); Spark's text readers do the same
