@@ -123,6 +123,37 @@ object Similarity {
   val NList = 8    // IVF coarse-quantizer cells
   val NProbe = 2   // cells probed per query
 
+  val DupBandCap = 16     // docs paired per (band, value) bucket
+  val DupThreshold = 0.2  // cosine near-dup threshold
+
+  /** Embedding-cosine near-duplicate PAIRS (the dedup counterpart of
+    * [[lshTopK]]): vectors sharing any LSH band value are candidates —
+    * bucket-capped at the [[DupBandCap]] lowest vec_ids exactly like the
+    * MinHash band join (a degenerate bucket must not go quadratic) — then
+    * exact cosine verifies candidates against [[DupThreshold]]. The band
+    * value is the shuffle key at scale; no all-pairs comparison anywhere. */
+  def embedCosinePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sig = bandSignature(s, dir)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"band_idx", $"band_val").orderBy($"vec_id")))
+      .filter($"rn" <= DupBandCap)
+      .select($"vec_id", $"emb", $"band_idx", $"band_val")
+    val cand = sig.as("a").join(sig.as("b"),
+        $"a.band_idx" === $"b.band_idx" && $"a.band_val" === $"b.band_val" &&
+          $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2"),
+        $"a.emb".as("e1"), $"b.emb".as("e2"))
+      .dropDuplicates("v1", "v2")
+    cand
+      .withColumn("cos", round(round(
+        dot($"e1", $"e2") / (l2($"e1") * l2($"e2")), 9), 6))
+      .filter($"cos" >= DupThreshold)
+      .select($"v1", $"v2", $"cos")
+      .orderBy($"v1", $"v2")
+  }
+
   /** IVF (inverted-file) ANN — the classic coarse-quantizer scale path:
     *
     *   1. centroids = the embeddings of [[NList]] fixed vec_ids (data-derived
@@ -171,7 +202,31 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> (cosineTopK _),
     "ann_lsh_topk" -> (lshTopK _),
-    "ann_ivf_topk" -> (ivfTopK _))
+    "ann_ivf_topk" -> (ivfTopK _),
+    "dedup_embed_cosine" -> (embedCosinePairs _))
+
+  /** Shared SQL CTE prefix: md5-derived hyperplanes -> per-vector band
+    * values (identical to [[bandSignature]]). */
+  private val bandsCte =
+    s"""planes AS (
+       |  SELECT p, i,
+       |    ((16*(strpos('0123456789abcdef', substr(md5('plane:'||p||':'||i),1,1))-1)
+       |     + (strpos('0123456789abcdef', substr(md5('plane:'||p||':'||i),2,1))-1)) * 256
+       |     + 16*(strpos('0123456789abcdef', substr(md5('plane:'||p||':'||i),3,1))-1)
+       |     + (strpos('0123456789abcdef', substr(md5('plane:'||p||':'||i),4,1))-1)
+       |    ) / 32768.0 - 1.0 AS w
+       |  FROM generate_series(0, ${NumPlanes - 1}) t(p), generate_series(0, ${Dim - 1}) u(i)),
+       |f AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+       |         CAST(unnest(embedding) AS DOUBLE) AS v
+       |  FROM embeddings),
+       |proj AS (
+       |  SELECT vec_id, p, sum(v * w) AS pr
+       |  FROM f JOIN planes USING (i) GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT vec_id, p // $BandBits AS band,
+       |         CAST(sum(CASE WHEN pr >= 0 THEN 1 << (p % $BandBits) ELSE 0 END) AS INT) AS bval
+       |  FROM proj GROUP BY 1, 2)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "ann_cosine_topk" ->
@@ -219,6 +274,25 @@ object Similarity {
          |  FROM f JOIN q USING (i) JOIN cand ON cand.vec_id = f.vec_id GROUP BY 1)
          |SELECT vec_id, round(round(cos, 9), 4) AS cos FROM sc
          |ORDER BY round(round(cos, 9), 4) DESC, vec_id ASC LIMIT $K""".stripMargin,
+    "dedup_embed_cosine" ->
+      s"""WITH $bandsCte,
+         |capped AS (
+         |  SELECT vec_id, band, bval FROM bands
+         |  QUALIFY row_number() OVER (PARTITION BY band, bval ORDER BY vec_id) <= $DupBandCap),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+         |  FROM capped a JOIN capped b USING (band, bval)
+         |  WHERE a.vec_id < b.vec_id),
+         |sc AS (
+         |  SELECT v1, v2,
+         |    round(round(sum(f1.v * f2.v) /
+         |      (sqrt(sum(f1.v * f1.v)) * sqrt(sum(f2.v * f2.v))), 9), 6) AS cos
+         |  FROM cand
+         |  JOIN f f1 ON f1.vec_id = v1
+         |  JOIN f f2 ON f2.vec_id = v2 AND f2.i = f1.i
+         |  GROUP BY 1, 2)
+         |SELECT v1, v2, cos FROM sc WHERE cos >= $DupThreshold
+         |ORDER BY v1, v2""".stripMargin,
     // IVF: centroids are rows 1..NList of the table itself, so the whole
     // coarse-quantizer pipeline is reproducible in SQL
     "ann_ivf_topk" ->
