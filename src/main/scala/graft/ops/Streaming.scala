@@ -101,13 +101,22 @@ object Streaming {
 
   private def runToTable(s: SparkSession, out: DataFrame, mode: OutputMode): DataFrame = {
     val name = s"stream_sink_${sinkId.incrementAndGet()}"
-    val q = out.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // State-store partition sizing: stateful shuffles inherit
+    // spark.sql.shuffle.partitions AT QUERY START, and every micro-batch
+    // writes one state file per partition per stateful op. Size to the
+    // (small) state cardinality here, exactly as a production job sizes its
+    // state store; batch queries keep the session default.
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = out.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
 
