@@ -96,6 +96,23 @@ class Bm25Spec extends SparkTestBase {
     }
   }
 
+  test("seeded fuzz: 20 random queries, pruned == naive == oracle (OR and AND)") {
+    val vocab = Array("index", "merge", "search", "query", "record", "the",
+      "int", "val", "return", "if", "tokenize", "doc", "needle_3", "needle_800",
+      "zzqqxxyy_absent", "a", "fn")
+    val rng = new scala.util.Random(20260816)
+    for (_ <- 0 until 20) {
+      val n = 1 + rng.nextInt(5)
+      val q = Seq.fill(n)(vocab(rng.nextInt(vocab.length))).mkString(" ")
+      val k = 1 + rng.nextInt(15)
+      val naive = rows(index.topKOrNaive(q, k))
+      assert(rows(index.topKOr(q, k)) == naive, s"OR wand vs naive: '$q' k=$k")
+      assert(naive == rows(Oracle.topKOr(spark, docs, q, k)), s"OR vs oracle: '$q' k=$k")
+      assert(rows(index.topKAnd(q, k)) == rows(Oracle.topKAnd(spark, docs, q, k)),
+        s"AND vs oracle: '$q' k=$k")
+    }
+  }
+
   test("overlaps after coalesce handles interleaved/nested multi-term ranges") {
     // regression: ranges pooled from several terms interleave; un-merged
     // binary search missed a probe inside a wide early interval.
