@@ -122,18 +122,31 @@ object QueryParser {
     * the brute-force [[query]] path (differential-tested in QueryParserSpec).
     * With no indexable conjunct this degrades to [[query]].
     */
+  /** Numeric-index conjuncts matching more than this fraction of the table
+    * are executed as scan predicates instead: a semi-join against 90% of the
+    * row ids costs a full shuffle and saves nothing. Counting the pruned
+    * index projection is cheap (row-group metadata + pruned scan), so the
+    * gate is a real cost decision, not a guess. */
+  val MaxIndexSelectivity = 0.25
+
   def queryIndexed(spark: SparkSession, df: DataFrame, idCol: String,
                    indexRoot: String, q: String): DataFrame = {
     val exprs = parse(q)
+    lazy val tableRows = df.count()   // computed only if a numeric gate fires
+    def selective(cand: DataFrame): Option[DataFrame] = {
+      val n = cand.count()
+      if (tableRows == 0 || n.toDouble / tableRows <= MaxIndexSelectivity) Some(cand)
+      else None
+    }
     val candSets: Seq[DataFrame] = exprs.flatMap {
       case Search(c, s) if TrigramIndex.exists(spark, triDir(indexRoot, c)) &&
           Tokenizer.triKeys(s).nonEmpty =>
         Some(TrigramIndex.searchCandidates(spark, triDir(indexRoot, c), s))
       case Cmp(c, "==", Left(v)) if NumericIndex.exists(spark, indexRoot, c) =>
-        Some(NumericIndex.point(spark, indexRoot, c, v))
+        selective(NumericIndex.point(spark, indexRoot, c, v))
       case Cmp(c, op, Left(v)) if (op == "<" || op == "<=" || op == ">" || op == ">=") &&
           NumericIndex.exists(spark, indexRoot, c) =>
-        Some(op match {
+        selective(op match {
           case "<"  => NumericIndex.range(spark, indexRoot, c, None, Some(v), hiInclusive = false)
           case "<=" => NumericIndex.range(spark, indexRoot, c, None, Some(v), hiInclusive = true)
           case ">"  => NumericIndex.range(spark, indexRoot, c, Some(v), None, loInclusive = false)

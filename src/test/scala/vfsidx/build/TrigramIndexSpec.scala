@@ -114,6 +114,8 @@ class TrigramIndexSpec extends SparkTestBase {
       """text.search("鬼滅の") && doc_id == 400""",
       """num == 44""",
       """doc_id >= 100 && doc_id < 120""",
+      """num >= 0""",            // non-selective: the cost gate must skip the index
+      """num >= 0 && text.search("merge")""",
       """text.search("ab")""")   // <3 runes -> empty on BOTH paths
     for (e <- exprs) {
       val a = QueryParser.queryIndexed(spark, df, "doc_id", root, e)
