@@ -70,6 +70,16 @@ object Main {
         println(f"query [$q] (${mode.stripPrefix("search")}) -> ${hits.length} hits in $ms%.0f ms")
         hits.foreach(r => println(f"  doc=${r.getLong(0)}%-8d score=${r.getDouble(1)}%.6f"))
       } else vfsidx.query.ResultEncoder.emit(res, output)
+    case "nears" :: root :: colName :: needleParts if needleParts.nonEmpty =>
+      // reference `Nears` (trigram-overlap similarity) over a regist-ed index
+      val needle = needleParts.mkString(" ")
+      val res = vfsidx.build.TrigramIndex.nears(spark,
+        vfsidx.query.QueryParser.triDir(root, colName), needle, 15)
+      if (output == "plain") {
+        val rows = res.collect()
+        println(s"nears [$needle] on $colName -> ${rows.length} docs")
+        rows.foreach(r => println(f"  doc=${r.getLong(0)}%-8d overlap=${r.getLong(1)}"))
+      } else vfsidx.query.ResultEncoder.emit(res, output)
     case "regist" :: table :: root :: idCol :: strCols :: numCols :: Nil =>
       val df = spark.read.parquet(table)
       def cols(s: String) = s.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
