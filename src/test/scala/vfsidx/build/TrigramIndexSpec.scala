@@ -125,6 +125,22 @@ class TrigramIndexSpec extends SparkTestBase {
     }
   }
 
+  test("seeded fuzz: 30 random substrings of real docs, indexed == scan") {
+    val texts = df.filter(length($"text") > 10)
+      .select($"text").as[String].collect()
+    val rng = new scala.util.Random(4242)
+    for (_ <- 0 until 30) {
+      val t = texts(rng.nextInt(texts.length))
+      val len = 1 + rng.nextInt(12)   // includes <3-char needles
+      val off = rng.nextInt(math.max(1, t.length - len))
+      val needle = t.substring(off, math.min(t.length, off + len))
+      val got = indexed(needle)
+      val want = if (needle.codePointCount(0, needle.length) < 3) Seq.empty
+                 else scanned(needle)
+      assert(got == want, s"needle '$needle'")
+    }
+  }
+
   test("incremental: ingest new docs + remerge == fresh build over the union") {
     val d = tmpDir("triinc")
     val half = df.filter($"doc_id" < 200)
