@@ -64,9 +64,27 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** Feature extraction for frame 0 of each synthetic payload: the pooled
+    * (mean) value of the 8-dim stub feature vector — byte i of the payload
+    * scaled to [0,1] (the shape of a pooled embedding; see
+    * [[vfsidx.multimodal.BinaryDecode.StubCodec.frameFeature]], whose typed
+    * twin is tested in BinaryDecodeSpec). Hex-digit arithmetic only, so the
+    * oracle reproduces it bit-for-bit. */
+  val FeatureDim = 8
+  def frameFeature(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bytes = (0 until FeatureDim).map(i => expr(hexByte("h", 1 + 2 * i)))
+    val mean = bytes.reduce(_ + _) / lit(255.0 * FeatureDim)
+    docs(s, dir)
+      .withColumn("h", md5($"text"))
+      .select($"doc_id", lit(0).as("frame_idx"), round(mean, 6).as("feat_mean"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_frame_sample" -> (frameSample _),
-    "mm_resize" -> (resizePlan _))
+    "mm_resize" -> (resizePlan _),
+    "mm_frame_feature" -> (frameFeature _))
 
   val oracleSql: Map[String, String] = Map(
     "mm_frame_sample" ->
@@ -83,6 +101,12 @@ object Multimodal {
          |SELECT doc_id, width, height, payload_len,
          |  CAST(unnest(generate_series(0, n_frames - 1)) AS INT) AS frame_idx
          |FROM meta ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_frame_feature" -> {
+      val bytes = (0 until FeatureDim).map(i => hexByte("md5(text)", 1 + 2 * i))
+      s"""SELECT doc_id, CAST(0 AS INT) AS frame_idx,
+         |  round((${bytes.mkString(" + ")}) / ${255.0 * FeatureDim}, 6) AS feat_mean
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "mm_resize" ->
       s"""WITH meta AS (
          |  SELECT doc_id,
