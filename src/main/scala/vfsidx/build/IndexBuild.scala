@@ -76,7 +76,8 @@ object IndexBuild {
       numBatches: Int = 8,         // ingest-batch granularity (stage-1 resume unit)
       numBuckets: Int = 32,        // merge-shuffle partitions (stage-3 parallelism)
       saltThreshold: Long = 5000,  // df above this -> shard by doc range
-      shardSize: Long = 4096)      // docs per head-term shard
+      shardSize: Long = 4096,      // docs per head-term shard
+      ingestParallelism: Int = 4)  // concurrent stage-1 batch jobs (reference M3 write pool)
 
   object TableIO {
     def write(df: DataFrame, dir: String): Unit =
@@ -130,25 +131,42 @@ object IndexBuild {
     // _SUCCESS markers, lineage is the audit/metrics trail)
     val lineage = scala.collection.mutable.ArrayBuffer[LineageRow]()
 
-    // ---- stage 1: postings runs, one ingest batch at a time ----
-    for (b <- 0 until cfg.numBatches) {
-      val rDir = runsDir(dir, b)
-      if (!TableIO.done(spark, rDir)) timed(s"batch$b") {
-        val t0 = System.currentTimeMillis()
-        val lo = b * perBatch
-        val hi = math.min(nDocs, lo + perBatch)
-        // column predicate (not a closure) so a parquet-backed corpus gets
-        // min/max row-group pruning on doc_id
-        val batchDocs = docs.filter($"doc_id" >= lo && $"doc_id" < hi).as[SourceFile]
-        // no sort here: the merge stage re-ranges on (term, shard) anyway,
-        // and parquet dictionary encoding compresses unsorted terms fine
-        val postings = tokenize(batchDocs)
-        TableIO.write(postings.toDF(), rDir)
-        // parquet-footer count: metadata only, no data scan
-        val nPost = spark.read.parquet(rDir).count()
-        lineage += LineageRow("runs", b, "", "", hi - lo, nPost, 0L,
-          System.currentTimeMillis() - t0)
-      }
+    // ---- stage 1: postings runs — a CONCURRENT pool of independent batch
+    // jobs (the reference's write-pool M3, /root/reference/column.go:139-176
+    // re-expressed as concurrent Spark job submission: batches touch
+    // disjoint doc ranges and write disjoint dirs, so they only share
+    // cluster slots; the scheduler interleaves their tasks and keeps the
+    // executors saturated where sequential jobs would leave slots idle
+    // between stages) ----
+    val pending = (0 until cfg.numBatches).filter(b => !TableIO.done(spark, runsDir(dir, b)))
+    if (pending.nonEmpty) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(cfg.ingestParallelism, pending.size)))
+      try {
+        val futures = pending.map { b =>
+          pool.submit(new java.util.concurrent.Callable[LineageRow] {
+            def call(): LineageRow = timed(s"batch$b") {
+              val rDir = runsDir(dir, b)
+              val t0 = System.currentTimeMillis()
+              val lo = b * perBatch
+              val hi = math.min(nDocs, lo + perBatch)
+              // column predicate (not a closure) so a parquet-backed corpus
+              // gets min/max row-group pruning on doc_id
+              val batchDocs = docs.filter($"doc_id" >= lo && $"doc_id" < hi).as[SourceFile]
+              // no sort here: the merge stage re-ranges on (term, shard)
+              // anyway, and parquet dictionary encoding compresses unsorted
+              // terms fine
+              val postings = tokenize(batchDocs)
+              TableIO.write(postings.toDF(), rDir)
+              // parquet-footer count: metadata only, no data scan
+              val nPost = spark.read.parquet(rDir).count()
+              LineageRow("runs", b, "", "", hi - lo, nPost, 0L,
+                System.currentTimeMillis() - t0)
+            }
+          })
+        }
+        futures.foreach(f => lineage += f.get())
+      } finally pool.shutdown()
     }
 
     val allRuns = spark.read.parquet((0 until cfg.numBatches).map(runsDir(dir, _)): _*).as[Posting]
