@@ -51,9 +51,15 @@ class Bm25Index(spark: SparkSession, dir: String) {
     spark.read.parquet(IndexBuild.statsDir(dir)).as[CorpusStats].head()
   lazy val dictionary: DataFrame = spark.read.parquet(IndexBuild.dictDir(dir))
 
-  private def idfMap(terms: Seq[String]): Map[String, Double] =
+  /** (df, idf) per query term in ONE dictionary lookup job — the query
+    * planner needs both (df for rarest-term selection, idf for scoring). */
+  private def termStats(terms: Seq[String]): Map[String, (Long, Double)] =
     dictionary.filter($"term".isin(terms: _*))
-      .select($"term", $"idf").as[(String, Double)].collect().toMap
+      .select($"term", $"df", $"idf").as[(String, Long, Double)].collect()
+      .map { case (t, df, idf) => t -> ((df, idf)) }.toMap
+
+  private def idfMap(terms: Seq[String]): Map[String, Double] =
+    termStats(terms).map { case (t, (_, idf)) => t -> idf }
 
   /** Decoded per-(term,doc) score contributions for the query terms. */
   private def contributions(terms: Seq[String], idfs: Map[String, Double],
@@ -136,13 +142,13 @@ class Bm25Index(spark: SparkSession, dir: String) {
     import spark.implicits._
     val terms = Tokenizer.codeTokens(query).distinct
     if (terms.isEmpty) return spark.emptyDataset[Hit].toDF()
-    val idfs = idfMap(terms)
+    val stats = termStats(terms)
+    val idfs = stats.map { case (t, (_, idf)) => t -> idf }
     if (terms.size == 1) return rank(contributions(terms, idfs), k, None)
 
     val present = terms.filter(idfs.contains)
     if (present.isEmpty) return spark.emptyDataset[Hit].toDF()
-    val dfs = dictionary.filter($"term".isin(present: _*))
-      .select($"term", $"df").as[(String, Long)].collect().toMap
+    val dfs = stats.map { case (t, (df, _)) => t -> df }
 
     // phase 1: θ from the rarest term's own top-k. rank() HALF_UP-rounds to
     // 9 dp (can exceed the true k-th score by 5e-10), so back off 1e-9 to
@@ -191,11 +197,11 @@ class Bm25Index(spark: SparkSession, dir: String) {
   def topKAnd(query: String, k: Int): DataFrame = {
     val terms = Tokenizer.codeTokens(query).distinct
     if (terms.isEmpty) return spark.emptyDataset[Hit].toDF()
-    val idfs = idfMap(terms)
+    val stats = termStats(terms)
+    val idfs = stats.map { case (t, (_, idf)) => t -> idf }
     if (idfs.size < terms.size)  // a term is absent from the corpus -> AND is empty
       return spark.emptyDataset[Hit].toDF()
-    val dfs = dictionary.filter($"term".isin(terms: _*))
-      .select($"term", $"df").as[(String, Long)].collect().toMap
+    val dfs = stats.map { case (t, (df, _)) => t -> df }
     val rarest = terms.minBy(t => dfs.getOrElse(t, 0L))
     // Block metadata of the rarest term: df/128 (first,last) ranges — bounded
     // and broadcastable (rare by definition). Other terms skip blocks whose
