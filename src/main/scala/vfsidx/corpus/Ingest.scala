@@ -69,17 +69,31 @@ object Ingest {
     * Returns (newFiles, newDocs). */
   def refreshJson(spark: SparkSession, indexDir: String, dataDir: String,
                   contentCol: String,
-                  cfg: vfsidx.build.IndexBuild.BuildConfig = vfsidx.build.IndexBuild.BuildConfig(numBatches = 1, numBuckets = 8)): (Int, Long) = {
+                  cfg: vfsidx.build.IndexBuild.BuildConfig = vfsidx.build.IndexBuild.BuildConfig(numBatches = 1, numBuckets = 8)): (Int, Long) =
+    refresh(spark, indexDir, dataDir, contentCol, "json", cfg)
+
+  def refreshCsv(spark: SparkSession, indexDir: String, dataDir: String,
+                 contentCol: String,
+                 cfg: vfsidx.build.IndexBuild.BuildConfig = vfsidx.build.IndexBuild.BuildConfig(numBatches = 1, numBuckets = 8)): (Int, Long) =
+    refresh(spark, indexDir, dataDir, contentCol, "csv", cfg)
+
+  private def refresh(spark: SparkSession, indexDir: String, dataDir: String,
+                      contentCol: String, format: String,
+                      cfg: vfsidx.build.IndexBuild.BuildConfig): (Int, Long) = {
     import spark.implicits._
     import vfsidx.build.IndexBuild
+    val exts = format match {
+      case "json" => Seq(".json", ".jsonl", ".ndjson", ".json.lz4")
+      case "csv"  => Seq(".csv", ".tsv", ".csv.lz4")
+      case other  => throw new IllegalArgumentException(s"unsupported refresh format: $other")
+    }
     val hconf = spark.sparkContext.hadoopConfiguration
     val dataPath = new org.apache.hadoop.fs.Path(dataDir)
     val fs = dataPath.getFileSystem(hconf)
     val files = fs.listStatus(dataPath)
       .filter(_.isFile)
       .map(_.getPath.toString)
-      .filter(p => p.endsWith(".json") || p.endsWith(".jsonl") ||
-        p.endsWith(".ndjson") || p.endsWith(".json.lz4"))
+      .filter(p => exts.exists(p.endsWith))
       .sorted
     val catPath = new org.apache.hadoop.fs.Path(catalogDir(indexDir))
     val catFs = catPath.getFileSystem(hconf)
@@ -94,8 +108,11 @@ object Ingest {
     val batchId = if (cat.isEmpty) 0 else cat.map(_.batch_id).max + 1
     // n_docs is the BATCH total, repeated on each of the batch's file rows
     val docBase = cat.map(r => (r.batch_id, r.n_docs)).distinct.map(_._2).sum
-    val corpus = toCorpus(
-      spark.read.option("multiLine", "false").json(newFiles.toIndexedSeq: _*),
+    val raw = format match {
+      case "json" => spark.read.option("multiLine", "false").json(newFiles.toIndexedSeq: _*)
+      case _      => spark.read.option("header", "true").csv(newFiles.toIndexedSeq: _*)
+    }
+    val corpus = toCorpus(raw,
       contentCol, repo = s"refresh/batch=$batchId", idOffset = docBase).cache()
     val nNew = corpus.count()
     // refresh batches are numbered by catalog batch_id, so the initial build

@@ -106,6 +106,19 @@ class IncrementalSpec extends SparkTestBase {
     assert(corpus.map(_.content).toSet == (0 until 40).map(i => s"lzword$i alpha beta").toSet)
   }
 
+  test("CSV directory refresh mirrors the JSON one") {
+    val data = tmpDir("refresh_csv")
+    val idx = tmpDir("refresh_csv_idx")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$data/a.csv"),
+      "id,content\n1,alpha beta\n2,gamma beta\n".getBytes("UTF-8"))
+    assert(Ingest.refreshCsv(spark, idx, data, "content", cfg) == ((1, 2L)))
+    assert(Ingest.refreshCsv(spark, idx, data, "content", cfg) == ((0, 0L)))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$data/b.csv"),
+      "id,content\n3,delta beta\n".getBytes("UTF-8"))
+    assert(Ingest.refreshCsv(spark, idx, data, "content", cfg) == ((1, 1L)))
+    assert(new Bm25Index(spark, idx).topKOr("beta", 10).count() == 3)
+  }
+
   test("CSV ingestion with header sniffing (reference S2)") {
     val dir = tmpDir("ingest_csv")
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/test.1.csv"),
