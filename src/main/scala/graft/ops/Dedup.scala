@@ -48,18 +48,26 @@ object Dedup {
   }
 
   /** n-gram Jaccard similarity of every doc against a probe doc (linear,
-    * not quadratic — the all-pairs variant is [[minhashLsh]]). */
+    * not quadratic — the all-pairs variant is [[minhashLsh]]).
+    *
+    * One tokenize pass, nothing cached: the probe's shingles come from a
+    * single-row doc_id-pushdown scan and broadcast; a left join marks
+    * matches so per-doc size and intersection come out of the SAME
+    * aggregation. */
   def jaccardProbe(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = shingleDF(s, dir).cache()
-    val probe = sh.filter($"doc_id" === ProbeDoc).select($"sh")
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    val probeSize = sizes.filter($"doc_id" === ProbeDoc).select($"n_sh".as("n_probe"))
-    val inter = sh.filter($"doc_id" =!= ProbeDoc)
-      .join(probe, "sh")
-      .groupBy($"doc_id").agg(count(lit(1)).as("n_inter"))
-    inter.join(sizes, "doc_id").crossJoin(broadcast(probeSize))
-      .withColumn("jac", round($"n_inter" / ($"n_sh" + $"n_probe" - $"n_inter"), 6))
+    val probeSh = docs(s, dir).filter($"doc_id" === ProbeDoc)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (_, text) => Tokenizer.shingles(text, ShingleN).distinct }
+      .toDF("sh").withColumn("m", lit(1))
+    val nProbe = probeSh.count()
+    shingleDF(s, dir)
+      .filter($"doc_id" =!= ProbeDoc)
+      .join(broadcast(probeSh), Seq("sh"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_sh"), sum($"m").as("n_inter"))
+      .filter($"n_inter" > 0)
+      .withColumn("jac", round($"n_inter" / ($"n_sh" + nProbe - $"n_inter"), 6))
       .filter($"jac" >= ProbeThreshold)
       .select($"doc_id", $"jac")
       .orderBy($"doc_id")
