@@ -22,6 +22,11 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // sandbox-scale split sizing: sf0.1 tables are ~100 MB, so the 128 MB
+      // default collapses scans to a couple of partitions; a 100 TB
+      // deployment tunes the same knob per table the other way
+      .config("spark.sql.files.maxPartitionBytes", (8 << 20).toString)
+      .config("spark.sql.files.openCostInBytes", (128 << 10).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
