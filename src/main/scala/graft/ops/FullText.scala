@@ -46,12 +46,21 @@ object FullText {
   def indexRoot(s: SparkSession, dir: String): String =
     cache.computeIfAbsent(dir, { d =>
       val out = java.nio.file.Files.createTempDirectory("graft_ftidx_").toString
-      IndexBuild.build(s, asCorpus(s, d), out,
-        IndexBuild.BuildConfig(numBatches = 2, numBuckets = 8,
-          saltThreshold = 200, shardSize = 512))
-      QueryParser.buildIndexes(s, docs(s, d), "doc_id",
-        strCols = Seq("text"), numCols = Seq("n_chars"), root = out,
-        TrigramIndex.TriConfig(numBuckets = 8, saltThreshold = 200, shardSize = 512))
+      // word and trigram/numeric builds write disjoint dirs — submit both
+      // job chains concurrently so the cluster stays saturated across their
+      // stage gaps (same pattern as the stage-1 ingest pool)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val fWord = pool.submit(new Runnable {
+        def run(): Unit = IndexBuild.build(s, asCorpus(s, d), out,
+          IndexBuild.BuildConfig(numBatches = 2, numBuckets = 8,
+            saltThreshold = 200, shardSize = 512))
+      })
+      val fCols = pool.submit(new Runnable {
+        def run(): Unit = QueryParser.buildIndexes(s, docs(s, d), "doc_id",
+          strCols = Seq("text"), numCols = Seq("n_chars"), root = out,
+          TrigramIndex.TriConfig(numBuckets = 8, saltThreshold = 200, shardSize = 512))
+      })
+      try { fWord.get(); fCols.get() } finally pool.shutdown()
       out
     })
 
