@@ -138,22 +138,49 @@ object QueryParser {
       if (tableRows == 0 || n.toDouble / tableRows <= MaxIndexSelectivity) Some(cand)
       else None
     }
-    val candSets: Seq[DataFrame] = exprs.flatMap {
+    val searchSets: Seq[DataFrame] = exprs.flatMap {
       case Search(c, s) if TrigramIndex.exists(spark, triDir(indexRoot, c)) &&
           Tokenizer.triKeys(s).nonEmpty =>
         Some(TrigramIndex.searchCandidates(spark, triDir(indexRoot, c), s))
-      case Cmp(c, "==", Left(v)) if NumericIndex.exists(spark, indexRoot, c) =>
-        selective(NumericIndex.point(spark, indexRoot, c, v))
-      case Cmp(c, op, Left(v)) if (op == "<" || op == "<=" || op == ">" || op == ">=") &&
-          NumericIndex.exists(spark, indexRoot, c) =>
-        selective(op match {
-          case "<"  => NumericIndex.range(spark, indexRoot, c, None, Some(v), hiInclusive = false)
-          case "<=" => NumericIndex.range(spark, indexRoot, c, None, Some(v), hiInclusive = true)
-          case ">"  => NumericIndex.range(spark, indexRoot, c, Some(v), None, loInclusive = false)
-          case ">=" => NumericIndex.range(spark, indexRoot, c, Some(v), None, loInclusive = true)
-        })
       case _ => None
     }
+    // Merge ALL numeric conjuncts on one column into a single index walk —
+    // `x >= 300 && x < 600` is one pruned range scan, not two intersected
+    // candidate sets (the reference's range lookup is likewise one
+    // [first,last] walk, /root/reference/index_file.go:1208-1422).
+    final case class Bounds(lo: Option[(Long, Boolean)], hi: Option[(Long, Boolean)],
+                            eq: Option[Long], contradiction: Boolean)
+    val numBounds = scala.collection.mutable.LinkedHashMap[String, Bounds]()
+    exprs.foreach {
+      case Cmp(c, op, Left(v)) if op != "!=" && NumericIndex.exists(spark, indexRoot, c) =>
+        val b = numBounds.getOrElse(c, Bounds(None, None, None, contradiction = false))
+        val nb = op match {
+          case "==" => b.eq match {
+            case Some(e) if e != v => b.copy(contradiction = true)
+            case _ => b.copy(eq = Some(v))
+          }
+          case ">" | ">=" =>
+            val cand = (v, op == ">=")
+            val tighter = b.lo.forall { case (lv, lInc) => v > lv || (v == lv && !cand._2 && lInc) }
+            if (tighter) b.copy(lo = Some(cand)) else b
+          case "<" | "<=" =>
+            val cand = (v, op == "<=")
+            val tighter = b.hi.forall { case (hv, hInc) => v < hv || (v == hv && !cand._2 && hInc) }
+            if (tighter) b.copy(hi = Some(cand)) else b
+        }
+        numBounds(c) = nb
+      case _ => ()
+    }
+    val numSets: Seq[DataFrame] = numBounds.toSeq.flatMap { case (c, b) =>
+      if (b.contradiction) Some(spark.range(0).toDF("doc_id"))
+      else b.eq match {
+        case Some(v) => selective(NumericIndex.point(spark, indexRoot, c, v))
+        case None => selective(NumericIndex.range(spark, indexRoot, c,
+          b.lo.map(_._1), b.hi.map(_._1),
+          loInclusive = b.lo.forall(_._2), hiInclusive = b.hi.exists(_._2)))
+      }
+    }
+    val candSets = searchSets ++ numSets
     val base =
       if (candSets.isEmpty) df
       else {

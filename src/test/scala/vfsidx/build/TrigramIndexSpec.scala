@@ -116,6 +116,10 @@ class TrigramIndexSpec extends SparkTestBase {
       """doc_id >= 100 && doc_id < 120""",
       """num >= 0""",            // non-selective: the cost gate must skip the index
       """num >= 0 && text.search("merge")""",
+      """num >= 30 && num >= 44 && num < 80""",   // redundant lower bounds merge
+      """num > 44 && num <= 44""",                // empty range
+      """num == 44 && num == 45""",               // contradictory equalities
+      """num == 44 && num >= 30 && text.search("the batch")""",
       """text.search("ab")""")   // <3 runes -> empty on BOTH paths
     for (e <- exprs) {
       val a = QueryParser.queryIndexed(spark, df, "doc_id", root, e)
