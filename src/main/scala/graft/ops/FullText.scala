@@ -138,21 +138,59 @@ object FullText {
     TrigramIndex.nears(s, QueryParser.triDir(root, "text"), NearsNeedle, 15)
   }
 
-  /** Count of matches for one term (A1 Count, /root/reference/search_finder.go:325-332). */
+  /** Count of matches for one term, answered FROM THE INDEX — the
+    * reference's count closures read it off the posting metadata without
+    * materializing rows (A1, /root/reference/search_finder.go:325-332,
+    * /root/reference/index_file.go:911-916). Here it is one dictionary row:
+    * df == number of docs containing the term (one posting per (term, doc)),
+    * summed across generations by the merged dictionary view. The corpus is
+    * never scanned; the oracle still brute-forces the documents table. */
   def countTerm(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    docs(s, dir)
-      .filter(array_contains(split($"text", " "), CountTerm))
-      .agg(count(lit(1)).as("n"))
+    index(s, dir).dictionary
+      .filter($"term" === CountTerm)
+      .agg(coalesce(sum($"df"), lit(0L)).as("n"))
   }
 
-  /** First/Last match in doc order (W2, /root/reference/search_finder.go:334-371). */
+  /** First/Last match in doc order FROM THE INDEX (W2,
+    * /root/reference/search_finder.go:334-371): posting lists are doc-sorted
+    * and each segment row carries block [first,last] doc ranges, so
+    * first = min(block_first), last = max(block_last) and n = Σ count over
+    * the term's segment rows — a pruned metadata scan that never decodes a
+    * posting byte and never touches the corpus (the `postings` blob column
+    * is not even read). */
   def firstLast(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    docs(s, dir)
-      .filter(array_contains(split($"text", " "), CountTerm))
-      .agg(min($"doc_id").as("first_id"), max($"doc_id").as("last_id"),
-        count(lit(1)).as("n"))
+    vfsidx.build.IndexBuild.readSegments(s, indexRoot(s, dir))
+      .filter($"term" === CountTerm)
+      .agg(min(array_min($"block_first")).as("first_id"),
+        max(array_max($"block_last")).as("last_id"),
+        coalesce(sum($"count"), lit(0)).cast("long").as("n"))
+  }
+
+  /** Query-language `||` extension: union of conjunct-group candidate sets
+    * from the indexes, every predicate re-applied (divergence: the reference
+    * grammar has no OR, /root/reference/expr/expr.peg:8-32). */
+  val QueryOrExpr = """text.search("the batch") && n_chars < 400 || text.search("data merge")"""
+  def queryOr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = indexRoot(s, dir)
+    QueryParser.queryIndexed(s, docs(s, dir), "doc_id", root, QueryOrExpr)
+      .select($"doc_id", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  /** String ordering comparisons in the query language — lexicographic scan
+    * predicates re-applied on the trigram-index candidates (reference
+    * StringOp `<,<=,>,>=`, /root/reference/search_cond.go:793-822, whose
+    * trigram-KEY ordering we consciously replace with SQL semantics). */
+  val QueryStrRangeExpr = """lang >= "e" && lang < "g" && text.search("merge")"""
+  def queryStrRange(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = indexRoot(s, dir)
+    QueryParser.queryIndexed(s, docs(s, dir), "doc_id", root, QueryStrRangeExpr)
+      .select($"doc_id", $"lang")
+      .orderBy($"doc_id")
   }
 
   /** Cross-column AND (J2: string predicate && numeric range,
@@ -175,6 +213,8 @@ object FullText {
     "num_index_range" -> (numIndexRange _),
     "ft_count_term" -> (countTerm _),
     "ft_first_last" -> (firstLast _),
+    "ft_query_or" -> (queryOr _),
+    "ft_query_strrange" -> (queryStrRange _),
     "ft_cross_column" -> (crossColumn _))
 
   private val bm25OracleFmt =
@@ -231,6 +271,15 @@ object FullText {
     "ft_first_last" ->
       s"""SELECT min(doc_id) AS first_id, max(doc_id) AS last_id, count(*) AS n
          |FROM documents WHERE list_contains(string_split(text, ' '), '$CountTerm')""".stripMargin,
+    "ft_query_or" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE (contains(text, 'the batch') AND n_chars < 400)
+        |   OR contains(text, 'data merge')
+        |ORDER BY doc_id""".stripMargin,
+    "ft_query_strrange" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE lang >= 'e' AND lang < 'g' AND contains(text, 'merge')
+        |ORDER BY doc_id""".stripMargin,
     "ft_cross_column" ->
       s"""SELECT doc_id, n_chars FROM documents
          |WHERE list_contains(string_split(text, ' '), '$CountTerm')

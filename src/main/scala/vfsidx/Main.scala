@@ -42,10 +42,22 @@ object Main {
   private def flag(args: Array[String], name: String): Option[String] =
     args.collectFirst { case s if s.startsWith(s"--$name=") => s.stripPrefix(s"--$name=") }
 
+  /** Only RECOGNIZED flags are stripped from the positional arguments, and
+    * an unrecognized `--*` token is a usage error — a misspelled flag (e.g.
+    * `--ouput=json`) must not be silently ignored, and the error names the
+    * token so a needle that genuinely starts with `--` is at least loud
+    * (quote-free CLI parsing can't distinguish the two). */
+  private val knownFlags = Set("output", "index")
+
   def run(spark: SparkSession, allArgs: Array[String]): Unit = {
     val output = flag(allArgs, "output").getOrElse("plain")
     val indexRoot = flag(allArgs, "index")
-    val args = allArgs.filterNot(_.startsWith("--"))
+    val isKnown = (s: String) => knownFlags.exists(k => s.startsWith(s"--$k="))
+    allArgs.find(a => a.startsWith("--") && !isKnown(a)).foreach { bad =>
+      System.err.println(s"unknown flag: $bad (recognized: --output=json|csv, --index=<root>)")
+      sys.exit(2)
+    }
+    val args = allArgs.filterNot(isKnown)
     dispatch(spark, args, output, indexRoot)
   }
 
@@ -57,7 +69,7 @@ object Main {
       val docs = Synth.corpus(spark, n)
       IndexBuild.build(spark, docs, dir)
       val secs = (System.nanoTime() - t0) / 1e9
-      val nSegs = spark.read.parquet(IndexBuild.segmentsDir(dir)).count()
+      val nSegs = IndexBuild.readSegments(spark, dir).count()
       println(f"built index over $n docs in $secs%.1f s (${n / secs}%.0f docs/s), $nSegs segment rows -> $dir")
     case mode :: dir :: qparts if (mode == "search" || mode == "searchand") && qparts.nonEmpty =>
       val q = qparts.mkString(" ")

@@ -55,16 +55,52 @@ object TrigramIndex {
 
   def runsDir(dir: String) = s"$dir/tri_runs"
   def runsBatchDir(dir: String, batch: Int) = s"$dir/tri_runs/batch=$batch"
-  def dictDir(dir: String) = s"$dir/tri_dict"
-  def segmentsDir(dir: String) = s"$dir/tri_segments"
+  def dictGenDir(dir: String, lo: Int, hi: Int) = s"$dir/tri_dict/gen=${lo}_$hi"
+  def segmentsGenDir(dir: String, lo: Int, hi: Int) = s"$dir/tri_segments/gen=${lo}_$hi"
 
   final case class TriConfig(
       numBuckets: Int = 32,
       saltThreshold: Long = 5000,
-      shardSize: Long = 4096)
+      shardSize: Long = 4096,
+      maxGenerations: Int = 4)
+
+  private val genRe = """gen=(\d+)_(\d+)""".r
+
+  /** Completed generations (dict + segments `_SUCCESS`-committed), sorted by
+    * first batch; contained ranges dropped (mid-compaction safety) — same
+    * contract as [[IndexBuild.generations]]. */
+  def generations(spark: SparkSession, dir: String): Seq[(Int, Int)] = {
+    val parent = new org.apache.hadoop.fs.Path(s"$dir/tri_segments")
+    val fs = parent.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(parent)) return Seq.empty
+    val all = fs.listStatus(parent).filter(_.isDirectory).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case genRe(lo, hi) =>
+          val (l, h) = (lo.toInt, hi.toInt)
+          if (TableIO.done(spark, segmentsGenDir(dir, l, h)) &&
+              TableIO.done(spark, dictGenDir(dir, l, h))) Some((l, h)) else None
+        case _ => None
+      }
+    }
+    all.filter(g => !all.exists(o => o != g && o._1 <= g._1 && g._2 <= o._2))
+      .sortBy(_._1)
+  }
+
+  def readSegments(spark: SparkSession, dir: String): DataFrame = {
+    val gens = generations(spark, dir)
+    require(gens.nonEmpty, s"no completed trigram generations under $dir")
+    spark.read.parquet(gens.map { case (l, h) => segmentsGenDir(dir, l, h) }: _*)
+  }
+
+  /** Raw per-generation dictionary rows (key, df) — df is additive. */
+  def readDictRaw(spark: SparkSession, dir: String): DataFrame = {
+    val gens = generations(spark, dir)
+    require(gens.nonEmpty, s"no completed trigram generations under $dir")
+    spark.read.parquet(gens.map { case (l, h) => dictGenDir(dir, l, h) }: _*)
+  }
 
   def exists(spark: SparkSession, dir: String): Boolean =
-    TableIO.done(spark, segmentsDir(dir)) && TableIO.done(spark, dictDir(dir))
+    generations(spark, dir).nonEmpty
 
   /** (key, doc_id) postings runs for one docs slice — stage-1 unit. */
   private def tokenizeRuns(df: DataFrame, idCol: String, strCol: String): DataFrame = {
@@ -77,20 +113,11 @@ object TrigramIndex {
       .toDF("key", "doc_id")
   }
 
-  private def allRuns(spark: SparkSession, dir: String): DataFrame = {
-    val runsPath = new org.apache.hadoop.fs.Path(runsDir(dir))
-    val fs = runsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val batches = fs.listStatus(runsPath)
-      .filter(_.getPath.getName.startsWith("batch="))
-      .map(_.getPath.toString).sorted
-    require(batches.nonEmpty, s"no tri_runs batches under ${runsDir(dir)}")
-    spark.read.parquet(batches.toIndexedSeq: _*)
-  }
-
   /** Build (or resume) the trigram index for `df(strCol)` keyed by
     * `df(idCol)` (cast to long). Each stage is `_SUCCESS`-gated like the
-    * word-index build; [[ingestBatch]] + [[remerge]] extend it
-    * incrementally. */
+    * word-index build; [[ingestBatch]] + [[compactTail]]/[[remerge]] extend
+    * it incrementally (log-structured generations, same scheme as
+    * [[IndexBuild]]). */
   private val verbose = sys.env.contains("GRAFT_BUILD_VERBOSE")
   @inline private def timed[A](name: String)(f: => A): A = {
     if (!verbose) f
@@ -107,43 +134,73 @@ object TrigramIndex {
     if (!TableIO.done(spark, runsBatchDir(dir, 0))) timed("tri_runs") {
       TableIO.write(tokenizeRuns(df, idCol, strCol), runsBatchDir(dir, 0))
     }
-    buildDerived(spark, dir, cfg)
+    buildGeneration(spark, dir, 0, 0, cfg)
   }
 
   /** Incremental ingest (the reference's re-`Regist` over new data files,
-    * /root/reference/indexer.go:77-93): append one postings batch for
-    * `newDocs`; idempotent per batchId. [[remerge]] folds all batches into
-    * fresh segments. */
+    * /root/reference/indexer.go:77-93): write one postings batch for
+    * `newDocs` AND seal it as its own generation — immediately queryable,
+    * O(new data); idempotent per batchId. */
   def ingestBatch(spark: SparkSession, newDocs: DataFrame, idCol: String,
-                  strCol: String, dir: String, batchId: Int): Unit = {
+                  strCol: String, dir: String, batchId: Int,
+                  cfg: TriConfig = TriConfig()): Unit = {
     val bDir = runsBatchDir(dir, batchId)
     if (!TableIO.done(spark, bDir))
       TableIO.write(tokenizeRuns(newDocs, idCol, strCol), bDir)
+    buildGeneration(spark, dir, batchId, batchId, cfg)
   }
 
-  /** Recompute dict + segments from ALL runs batches on disk — compaction
-    * (reference M4/M8). Hadoop-FS deletes, so it works on HDFS/S3 too. */
+  /** Fold contiguous generations into one covering their union by
+    * re-shuffling exactly those batches' runs; delete the inputs only after
+    * the combined generation commits ([[generations]] hides contained ranges
+    * in the interim, so readers stay exact). */
+  private def fold(spark: SparkSession, dir: String, gens: Seq[(Int, Int)],
+                   cfg: TriConfig): Unit = {
+    require(gens.size >= 2, "fold needs at least two generations")
+    gens.sliding(2).foreach { case Seq(a, b) =>
+      require(a._2 + 1 == b._1, s"generations not contiguous: $a then $b")
+    case _ => ()
+    }
+    buildGeneration(spark, dir, gens.head._1, gens.last._2, cfg)
+    gens.foreach { case (l, h) =>
+      Seq(segmentsGenDir(dir, l, h), dictGenDir(dir, l, h))
+        .foreach(IndexBuild.TableIO.rmrf(spark, _))
+    }
+  }
+
+  /** Bounded compaction: fold every generation except the base (see
+    * [[IndexBuild.compactTail]]). */
+  def compactTail(spark: SparkSession, dir: String, cfg: TriConfig = TriConfig()): Boolean = {
+    val gens = generations(spark, dir)
+    if (gens.size < 3) false
+    else { fold(spark, dir, gens.drop(1), cfg); true }
+  }
+
+  /** Full compaction: fold ALL generations into one (reference M4/M8). */
   def remerge(spark: SparkSession, dir: String, cfg: TriConfig = TriConfig()): Unit = {
-    val hconf = spark.sparkContext.hadoopConfiguration
-    Seq(dictDir(dir), segmentsDir(dir)).foreach { p =>
-      val path = new org.apache.hadoop.fs.Path(p)
-      val fs = path.getFileSystem(hconf)
-      if (fs.exists(path)) fs.delete(path, true)
-    }
-    buildDerived(spark, dir, cfg)
+    val gens = generations(spark, dir)
+    require(gens.nonEmpty, s"no trigram generations under $dir")
+    if (gens.size >= 2) fold(spark, dir, gens, cfg)
   }
 
-  private def buildDerived(spark: SparkSession, dir: String, cfg: TriConfig): Unit = {
+  /** Dict + segments for runs batches [lo, hi] under `gen=lo_hi`;
+    * `_SUCCESS`-gated per table for resume. */
+  private def buildGeneration(spark: SparkSession, dir: String, lo: Int, hi: Int,
+                              cfg: TriConfig): Unit = {
     import spark.implicits._
-    lazy val runs = allRuns(spark, dir)
+    val gen = s"${lo}_$hi"
+    lazy val runs =
+      spark.read.parquet((lo to hi).map(runsBatchDir(dir, _)): _*)
 
-    if (!TableIO.done(spark, dictDir(dir))) timed("tri_dict") {
-      TableIO.write(runs.groupBy($"key").agg(count(lit(1)).as("df")), dictDir(dir))
+    val dDir = dictGenDir(dir, lo, hi)
+    if (!TableIO.done(spark, dDir)) timed(s"tri_dict:$gen") {
+      TableIO.write(runs.groupBy($"key").agg(count(lit(1)).as("df")), dDir)
     }
 
-    if (!TableIO.done(spark, segmentsDir(dir))) timed("tri_segments") {
+    val segDir = segmentsGenDir(dir, lo, hi)
+    if (!TableIO.done(spark, segDir)) timed(s"tri_segments:$gen") {
       // Zipf head is tiny (#keys with df > threshold < totalPostings/threshold)
-      val headKeys = spark.read.parquet(dictDir(dir))
+      val headKeys = spark.read.parquet(dDir)
         .filter($"df" > cfg.saltThreshold)
         .select($"key", lit(true).as("is_head"))
       val shardSize = cfg.shardSize
@@ -156,7 +213,7 @@ object TrigramIndex {
         .sortWithinPartitions($"key", $"shard", $"doc_id")
         .as[(Long, Long, Int)]
         .mapPartitions(encodePartition)
-      TableIO.write(segs.toDF(), segmentsDir(dir))
+      TableIO.write(segs.toDF(), segDir)
     }
   }
 
@@ -189,13 +246,15 @@ object TrigramIndex {
     if (keys.isEmpty)
       return spark.emptyDataset[Long].toDF("doc_id")
 
-    val dict = spark.read.parquet(dictDir(dir))
+    // per-generation df rows are additive (a doc lives in one generation)
+    val dict = readDictRaw(spark, dir)
       .filter($"key".isin(keys: _*))
+      .groupBy($"key").agg(sum($"df").as("df"))
       .as[TriDictRow].collect().map(r => r.key -> r.df).toMap
     if (dict.size < keys.size)   // some trigram nowhere in the corpus -> AND empty
       return spark.emptyDataset[Long].toDF("doc_id")
 
-    val segs = spark.read.parquet(segmentsDir(dir)).as[TriSegmentRow]
+    val segs = readSegments(spark, dir).as[TriSegmentRow]
       .filter($"key".isin(keys: _*))
 
     // Rarest key's block [first,last] ranges drive skipping on the other
@@ -246,9 +305,34 @@ object TrigramIndex {
     * filter — pushed to the parquet scan, so a doc_id-ordered corpus table
     * reads only the row groups holding candidates. Larger candidate sets
     * fall back to a distributed semi-join (never collected). */
+  /** Is every UTF-16 char of `s` part of a well-formed code point? A needle
+    * that slices a surrogate pair (e.g. a random substring of a
+    * supplementary-plane rune) tokenizes to lone-surrogate trigram keys that
+    * can never be in the corpus index, yet `String.contains` (char-level)
+    * CAN match it — the one input class where trigram-AND is not a superset
+    * of containment. */
+  private def wellFormedUtf16(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isHighSurrogate(c)) {
+        if (i + 1 >= s.length || !Character.isLowSurrogate(s.charAt(i + 1))) return false
+        i += 2
+      } else if (Character.isLowSurrogate(c)) return false
+      else i += 1
+    }
+    true
+  }
+
   def searchExact(spark: SparkSession, dir: String, docs: DataFrame,
                   idCol: String, strCol: String, needle: String): DataFrame = {
     import spark.implicits._
+    // malformed-UTF-16 needles bypass the index (full containment scan): the
+    // trigram prefilter is only a correct superset for well-formed needles.
+    // The <3-rune silent-drop rule (reference parity) still wins: short
+    // needles match nothing on either path.
+    if (!wellFormedUtf16(needle) && needle.codePointCount(0, needle.length) >= 3)
+      return docs.filter(col(strCol).contains(needle))
     val cand = searchCandidates(spark, dir, needle)
     val capped = cand.limit(IsinCap + 1).as[Long].collect()
     val prefiltered =
@@ -268,7 +352,7 @@ object TrigramIndex {
     val keys = Tokenizer.triKeys(needle).distinct
     if (keys.isEmpty)
       return spark.emptyDataset[(Long, Long)].toDF("doc_id", "overlap")
-    val segs = spark.read.parquet(segmentsDir(dir)).as[TriSegmentRow]
+    val segs = readSegments(spark, dir).as[TriSegmentRow]
       .filter($"key".isin(keys: _*))
     segs.flatMap { s =>
       val out = Array.newBuilder[Long]

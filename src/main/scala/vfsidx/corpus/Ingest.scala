@@ -29,7 +29,13 @@ object Ingest {
     val spark = df.sparkSession
     import spark.implicits._
     val contents = df.select(col(contentCol).cast("string")).as[String]
-    val counts = contents.mapPartitions { it =>
+    // Counting pass projects ZERO source columns: for columnar sources this
+    // is row-group metadata only, for JSON/CSV it skips value decode — the
+    // expensive content materialization happens once, in the id-assigning
+    // pass below. File-split planning depends only on (files,
+    // maxPartitionBytes), never on the projection, so partition ids line up
+    // across the two plans.
+    val counts = df.select(lit(1).as("one")).as[Int].mapPartitions { it =>
       Iterator.single((org.apache.spark.TaskContext.getPartitionId(), it.size.toLong))
     }.collect().sortBy(_._1).map(_._2)
     val offsets = counts.scanLeft(idOffset)(_ + _)
@@ -97,17 +103,37 @@ object Ingest {
       .sorted
     val catPath = new org.apache.hadoop.fs.Path(catalogDir(indexDir))
     val catFs = catPath.getFileSystem(hconf)
-    val cat: Seq[CatalogRow] =
-      if (catFs.exists(catPath))
-        spark.read.parquet(catalogDir(indexDir)).as[CatalogRow].collect().toSeq
-      else Seq.empty
-    val seen = cat.map(_.file_path).toSet
-    val newFiles = files.filterNot(seen)
+    val catEmpty = !catFs.exists(catPath)
+    // Diff listed files against the catalog as an ANTI-JOIN, never
+    // collecting the catalog to the driver (at 10^7 ingested files the
+    // catalog is a table, not a driver object). Only the NEW paths — the
+    // refresh unit — come back, plus one single-row aggregate for
+    // (next batch id, doc base).
+    val (newFiles: Seq[String], batchId: Int, docBase: Long) =
+      if (catEmpty) (files.toSeq, 0, 0L)
+      else {
+        val cat = spark.read.parquet(catalogDir(indexDir))
+        val listed = files.toSeq.toDF("file_path")
+        val fresh = listed.join(cat.select($"file_path"), Seq("file_path"), "left_anti")
+          .as[String].collect().toSeq.sorted
+        // n_docs is the BATCH total, repeated on each of the batch's file
+        // rows -> distinct per batch before summing
+        val (maxBatch, base) = cat.select($"batch_id", $"n_docs").distinct()
+          .agg(max($"batch_id"), coalesce(sum($"n_docs"), lit(0L)))
+          .as[(Int, Long)].head()
+        (fresh, maxBatch + 1, base)
+      }
     if (newFiles.isEmpty) return (0, 0L)
-
-    val batchId = if (cat.isEmpty) 0 else cat.map(_.batch_id).max + 1
-    // n_docs is the BATCH total, repeated on each of the batch's file rows
-    val docBase = cat.map(r => (r.batch_id, r.n_docs)).distinct.map(_._2).sum
+    // Guard against a catalog/index mismatch: an empty catalog means THIS is
+    // the initial build, which will occupy runs/batch=0 — if that batch
+    // already exists (a prior `build`/pre-catalog `indexjson` run), silently
+    // skipping it via _SUCCESS would record the new files as indexed without
+    // ever tokenizing them, with wrong doc_id bases for every later refresh.
+    if (catEmpty && IndexBuild.TableIO.done(spark, IndexBuild.runsDir(indexDir, 0)))
+      throw new IllegalStateException(
+        s"$indexDir already contains runs/batch=0 but has no ingest catalog: " +
+          "it was built outside the refresh flow. Refresh into a fresh index " +
+          "directory (or keep using the original build path).")
     val raw = format match {
       case "json" => spark.read.option("multiLine", "false").json(newFiles.toIndexedSeq: _*)
       case _      => spark.read.option("header", "true").csv(newFiles.toIndexedSeq: _*)
@@ -117,10 +143,15 @@ object Ingest {
     val nNew = corpus.count()
     // refresh batches are numbered by catalog batch_id, so the initial build
     // must occupy exactly runs/batch=0
-    if (cat.isEmpty) IndexBuild.build(spark, corpus, indexDir, cfg.copy(numBatches = 1))
+    if (catEmpty) IndexBuild.build(spark, corpus, indexDir, cfg.copy(numBatches = 1))
     else {
-      IndexBuild.ingestBatch(spark, corpus, indexDir, batchId)
-      IndexBuild.remerge(spark, indexDir, cfg)
+      // O(new data): the batch seals its own queryable generation — no
+      // remerge. Compaction only fires on accumulation (bounded fold of the
+      // tail generations), keeping query-time generation count flat across
+      // repeated refreshes.
+      IndexBuild.ingestBatch(spark, corpus, indexDir, batchId, cfg)
+      if (IndexBuild.generations(spark, indexDir).size > cfg.maxGenerations)
+        IndexBuild.compactTail(spark, indexDir, cfg)
     }
     // one catalog row per file would need per-file counts; the refresh unit
     // is the batch, so record the batch's files with the batch totals

@@ -46,10 +46,46 @@ class Bm25Index(spark: SparkSession, dir: String) {
   import spark.implicits._
 
   lazy val segments: Dataset[SegmentRow] =
-    spark.read.parquet(IndexBuild.segmentsDir(dir)).as[SegmentRow]
-  lazy val stats: CorpusStats =
-    spark.read.parquet(IndexBuild.statsDir(dir)).as[CorpusStats].head()
-  lazy val dictionary: DataFrame = spark.read.parquet(IndexBuild.dictDir(dir))
+    IndexBuild.readSegments(spark, dir).as[SegmentRow]
+
+  /** Per-generation build stats (one tiny parquet read across all gens). */
+  private lazy val genStats: Array[CorpusStats] =
+    IndexBuild.readStatsRaw(spark, dir).collect()
+
+  /** Global corpus stats: n_docs and tf_sum are additive across generations
+    * (a doc lives in exactly one), avgdl derives from their sums — identical
+    * to a fresh single-generation build over the whole corpus. */
+  lazy val stats: CorpusStats = {
+    val n = genStats.map(_.n_docs).sum
+    val tf = genStats.map(_.tf_sum).sum
+    CorpusStats(n, tf, if (n == 0) 0.0 else tf.toDouble / n)
+  }
+
+  /** Safety factor for block-max pruning bounds across generations. A
+    * generation's `block_max_norm` was computed with ITS build-time avgdl
+    * a0; scoring uses the current global avgdl a1. For any posting,
+    * norm(a) = tf(k1+1) / (x + y/a) with x = tf + k1(1-b) > 0, y = k1·b·dl:
+    * norm(a1)/norm(a0) = (x + y/a0)/(x + y/a1) ≤ (y/a0)/(y/a1) = a1/a0
+    * when a1 ≥ a0 (mediant inequality; ≤ 1 otherwise). So multiplying the
+    * stored bound by max(1, a1/a0), maximized over generations, keeps every
+    * pruning bound a true upper bound — exactness preserved under avgdl
+    * drift from incremental ingest. */
+  private lazy val ubCorrection: Double = {
+    val a1 = stats.avgdl
+    val fs = genStats.filter(_.avgdl > 0.0).map(s => math.max(1.0, a1 / s.avgdl))
+    if (fs.isEmpty) 1.0 else fs.max
+  }
+
+  /** Merged dictionary view: df/tf_sum summed across generations, idf
+    * derived from the merged df and the global doc count (per-generation
+    * idf would be stale the moment the corpus grows). */
+  lazy val dictionary: DataFrame = {
+    val n = stats.n_docs.toDouble
+    IndexBuild.readDictRaw(spark, dir)
+      .groupBy($"term").agg(sum($"df").as("df"), sum($"tf_sum").as("tf_sum"))
+      .select($"term", $"df", $"tf_sum",
+        log((lit(n) - $"df" + 0.5) / ($"df" + 0.5) + 1.0).as("idf"))
+  }
 
   /** (df, idf) per query term in ONE dictionary lookup job — the query
     * planner needs both (df for rarest-term selection, idf for scoring). */
@@ -167,7 +203,8 @@ class Bm25Index(spark: SparkSession, dir: String) {
       .select($"term", array_max($"block_max_norm").as("mn"))
       .groupBy($"term").agg(max($"mn").as("mn"))
       .as[(String, Float)].collect()
-      .map { case (t, mn) => t -> idfs(t) * Math.nextUp(mn).toDouble }.toMap
+      .map { case (t, mn) =>
+        t -> idfs(t) * Math.nextUp(mn).toDouble * ubCorrection }.toMap
 
     // maximal prefix (ascending ub) with strict Σ ub < θ is non-essential
     val byUb = present.sortBy(maxUb)

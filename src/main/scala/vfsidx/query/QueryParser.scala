@@ -23,7 +23,14 @@ import vfsidx.tokenize.Tokenizer
   *  - numeric comparisons `== != < <= > >=` -> strict/inclusive as written
   *    (the reference treats all four range ops inclusively — a bug we fix,
   *    /root/reference/search_cond.go:728-755).
-  *  - `&&` conjunction only, matching the grammar (no OR — parity, §2.6).
+  *  - string ordering `< <= > >=` -> plain lexicographic comparison on the
+  *    column (documented divergence: the reference orders by trigram KEY
+  *    value, /root/reference/search_cond.go:793-822 — near-meaningless to a
+  *    user; we take the SQL meaning).
+  *  - `&&` conjunction per the reference grammar, plus top-level `||`
+  *    disjunction of conjunct groups (an extension the reference grammar
+  *    lacks, /root/reference/expr/expr.peg:8-32 — documented divergence;
+  *    `&&` binds tighter than `||`, no parentheses).
   */
 object QueryParser {
 
@@ -37,8 +44,8 @@ object QueryParser {
   private def unescape(s: String): String =
     s.replace("\\\"", "\"").replace("\\\\", "\\")
 
-  /** Split on top-level && (quotes respected). */
-  private def splitAnds(q: String): Seq[String] = {
+  /** Split on a top-level two-char operator ("&&" or "||"), quotes respected. */
+  private def splitTop(q: String, op: Char): Seq[String] = {
     val parts = Seq.newBuilder[String]
     val cur = new StringBuilder
     var inStr = false
@@ -46,7 +53,7 @@ object QueryParser {
     while (i < q.length) {
       val c = q.charAt(i)
       if (c == '"' && (i == 0 || q.charAt(i - 1) != '\\')) { inStr = !inStr; cur += c }
-      else if (!inStr && c == '&' && i + 1 < q.length && q.charAt(i + 1) == '&') {
+      else if (!inStr && c == op && i + 1 < q.length && q.charAt(i + 1) == op) {
         parts += cur.toString; cur.clear(); i += 1
       } else cur += c
       i += 1
@@ -55,11 +62,21 @@ object QueryParser {
     parts.result()
   }
 
-  def parse(q: String): Seq[Expr] = splitAnds(q).map {
+  private def parseAnd(part: String): Seq[Expr] = splitTop(part, '&').map {
     case searchRe(col, s) => Search(col, unescape(s))
     case cmpRe(col, op, str, num) =>
       Cmp(col, op, if (str != null) Right(unescape(str)) else Left(num.toLong))
     case other => throw new IllegalArgumentException(s"cannot parse query term: '$other'")
+  }
+
+  /** OR-of-ANDs: `a && b || c` parses to Seq(Seq(a, b), Seq(c)). */
+  def parseQuery(q: String): Seq[Seq[Expr]] = splitTop(q, '|').map(parseAnd)
+
+  /** Single conjunction (the reference's exact grammar) — most callers. */
+  def parse(q: String): Seq[Expr] = {
+    val groups = parseQuery(q)
+    require(groups.size == 1, s"expected a pure conjunction, got ${groups.size} ||-groups")
+    groups.head
   }
 
   /** Compile one expression to a Catalyst predicate. String search applies
@@ -71,11 +88,17 @@ object QueryParser {
     case Search(col, s) =>
       if (Tokenizer.triKeys(s).isEmpty) lit(false)
       else column(col).contains(s)
-    case Cmp(col, op, Right(s)) =>
-      if (op == "==") {
+    case Cmp(col, op, Right(s)) => op match {
+      case "==" =>
         if (Tokenizer.triKeys(s).isEmpty) lit(false) else column(col).contains(s)
-      } else if (op == "!=") !column(col).contains(s)
-      else throw new IllegalArgumentException(s"ordering comparison on string column: $op")
+      case "!=" => !column(col).contains(s)
+      // lexicographic ordering on the string column itself (divergence from
+      // the reference's trigram-key ordering — see the object Scaladoc)
+      case "<"  => column(col) < s
+      case "<=" => column(col) <= s
+      case ">"  => column(col) > s
+      case ">=" => column(col) >= s
+    }
     case Cmp(col, op, Left(v)) => op match {
       case "==" => column(col) === v
       case "!=" => column(col) =!= v
@@ -88,11 +111,14 @@ object QueryParser {
 
   private def column(name: String): Column = col(name)
 
+  private def groupPredicate(g: Seq[Expr]): Column =
+    g.map(predicate).reduce(_ && _)
+
   /** Parse + apply: the reference's `SearchCond.Query(qstr)` as a DataFrame
     * transform (terminal verbs are plain Dataset actions: All = collect,
     * First = limit(1), Count = count — SURVEY.md §3.3). */
   def query(df: DataFrame, q: String): DataFrame =
-    parse(q).map(predicate).foldLeft(df)((d, p) => d.filter(p))
+    df.filter(parseQuery(q).map(groupPredicate).reduce(_ || _))
 
   // ---- indexed execution -------------------------------------------------
 
@@ -109,35 +135,20 @@ object QueryParser {
     numCols.foreach(c => NumericIndex.build(spark, df, idCol, c, root))
   }
 
-  /** Indexed execution of the reference query language — the dispatch the
-    * reference performs in SearchCond.Query (/root/reference/search_cond.go:626-651
-    * -> index_file.go:801-935): `col.search("s")` consults the column's
-    * trigram index, numeric `==`/range predicates consult the numeric
-    * secondary index, and anything un-indexed stays a scan predicate.
-    *
-    * Exactness by construction: the indexes only produce CANDIDATE doc_ids
-    * (intersected across indexed conjuncts, then semi-joined to the table);
-    * every parsed predicate — including the containment recheck — is
-    * re-applied on the candidate rows, so the result is row-identical to
-    * the brute-force [[query]] path (differential-tested in QueryParserSpec).
-    * With no indexable conjunct this degrades to [[query]].
-    */
-  /** Numeric-index conjuncts matching more than this fraction of the table
-    * are executed as scan predicates instead: a semi-join against 90% of the
-    * row ids costs a full shuffle and saves nothing. Counting the pruned
-    * index projection is cheap (row-group metadata + pruned scan), so the
-    * gate is a real cost decision, not a guess. */
+  /** Numeric-index conjuncts estimated to match more than this fraction of
+    * the table are executed as scan predicates instead: a semi-join against
+    * 90% of the row ids costs a full shuffle and saves nothing. The estimate
+    * comes from the index's PERSISTED quantile sketch ([[NumericIndex.stats]])
+    * — zero query-time counting jobs; an index built without stats falls
+    * back to counting the pruned candidate walk once. */
   val MaxIndexSelectivity = 0.25
 
-  def queryIndexed(spark: SparkSession, df: DataFrame, idCol: String,
-                   indexRoot: String, q: String): DataFrame = {
-    val exprs = parse(q)
-    lazy val tableRows = df.count()   // computed only if a numeric gate fires
-    def selective(cand: DataFrame): Option[DataFrame] = {
-      val n = cand.count()
-      if (tableRows == 0 || n.toDouble / tableRows <= MaxIndexSelectivity) Some(cand)
-      else None
-    }
+  /** Candidate doc_ids for ONE conjunct group, intersected across its
+    * indexed conjuncts; None when no conjunct is indexable (the group needs
+    * a scan anyway). Exactness is never at stake: candidates are a superset
+    * and every predicate is re-applied by [[queryIndexed]]. */
+  private def groupCandidates(spark: SparkSession, exprs: Seq[Expr],
+                              tableRows: => Long, indexRoot: String): Option[DataFrame] = {
     val searchSets: Seq[DataFrame] = exprs.flatMap {
       case Search(c, s) if TrigramIndex.exists(spark, triDir(indexRoot, c)) &&
           Tokenizer.triKeys(s).nonEmpty =>
@@ -171,22 +182,62 @@ object QueryParser {
         numBounds(c) = nb
       case _ => ()
     }
+    // index-vs-scan gate from persisted stats — no query-time jobs
+    def selective(col: String, lo: Option[Long], hi: Option[Long],
+                  cand: => DataFrame): Option[DataFrame] =
+      NumericIndex.stats(spark, indexRoot, col) match {
+        case Some(st) =>
+          if (NumericIndex.estimateFraction(st, lo, hi) <= MaxIndexSelectivity) Some(cand)
+          else None
+        case None =>   // legacy index without stats: count once (pruned scan)
+          val c = cand
+          val n = c.count()
+          if (tableRows == 0 || n.toDouble / tableRows <= MaxIndexSelectivity) Some(c)
+          else None
+      }
     val numSets: Seq[DataFrame] = numBounds.toSeq.flatMap { case (c, b) =>
       if (b.contradiction) Some(spark.range(0).toDF("doc_id"))
       else b.eq match {
-        case Some(v) => selective(NumericIndex.point(spark, indexRoot, c, v))
-        case None => selective(NumericIndex.range(spark, indexRoot, c,
-          b.lo.map(_._1), b.hi.map(_._1),
-          loInclusive = b.lo.forall(_._2), hiInclusive = b.hi.exists(_._2)))
+        case Some(v) =>
+          selective(c, Some(v), Some(v), NumericIndex.point(spark, indexRoot, c, v))
+        case None =>
+          selective(c, b.lo.map(_._1), b.hi.map(_._1),
+            NumericIndex.range(spark, indexRoot, c, b.lo.map(_._1), b.hi.map(_._1),
+              loInclusive = b.lo.forall(_._2), hiInclusive = b.hi.exists(_._2)))
       }
     }
     val candSets = searchSets ++ numSets
+    if (candSets.isEmpty) None
+    else Some(candSets.reduce((a, b) => a.join(b, "doc_id")))
+  }
+
+  /** Indexed execution of the reference query language — the dispatch the
+    * reference performs in SearchCond.Query (/root/reference/search_cond.go:626-651
+    * -> index_file.go:801-935): `col.search("s")` consults the column's
+    * trigram index, numeric `==`/range predicates consult the numeric
+    * secondary index, and anything un-indexed stays a scan predicate.
+    * `||`-groups union their candidate sets (the semi-join dedups).
+    *
+    * Exactness by construction: the indexes only produce CANDIDATE doc_ids
+    * (intersected within a group, unioned across groups, then semi-joined to
+    * the table); the full parsed predicate — including the containment
+    * recheck — is re-applied on the candidate rows, so the result is
+    * row-identical to the brute-force [[query]] path (differential-tested in
+    * QueryParserSpec/TrigramIndexSpec). With any group lacking an indexable
+    * conjunct this degrades to [[query]] (candidates could not bound that
+    * group's rows).
+    */
+  def queryIndexed(spark: SparkSession, df: DataFrame, idCol: String,
+                   indexRoot: String, q: String): DataFrame = {
+    val groups = parseQuery(q)
+    lazy val tableRows = df.count()   // only if a stats-less legacy gate fires
+    val sets = groups.map(g => groupCandidates(spark, g, tableRows, indexRoot))
     val base =
-      if (candSets.isEmpty) df
+      if (sets.exists(_.isEmpty)) df
       else {
-        val ids = candSets.reduce((a, b) => a.join(b, "doc_id"))
+        val ids = sets.flatten.reduce(_ unionByName _)
         df.join(ids.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_semi")
       }
-    exprs.map(predicate).foldLeft(base)((d, p) => d.filter(p))
+    base.filter(groups.map(groupPredicate).reduce(_ || _))
   }
 }

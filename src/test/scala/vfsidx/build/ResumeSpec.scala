@@ -15,7 +15,7 @@ class ResumeSpec extends SparkTestBase {
     numBatches = 4, numBuckets = 4, saltThreshold = 150, shardSize = 128)
 
   private def segmentsSorted(dir: String): Seq[(String, Int, Int, String)] =
-    spark.read.parquet(IndexBuild.segmentsDir(dir))
+    IndexBuild.readSegments(spark, dir)
       .select($"term", $"shard", $"count", md5(hex($"postings")).as("ph"))
       .as[(String, Int, Int, String)].collect().toSeq.sorted
 
@@ -33,7 +33,7 @@ class ResumeSpec extends SparkTestBase {
       if (f.isDirectory) f.listFiles().foreach(c => rmrf(c.getPath))
       f.delete()
     }
-    rmrf(IndexBuild.segmentsDir(d1))
+    rmrf(s"$d1/segments")
     rmrf(IndexBuild.runsDir(d1, 1))
     rmrf(IndexBuild.runsDir(d1, 3))
 
@@ -65,7 +65,7 @@ class ResumeSpec extends SparkTestBase {
     val segRows = lin.filter(_.stage == "segments")
     assert(segRows.forall(r => r.term_first <= r.term_last))
     assert(segRows.map(_.n_postings).sum ==
-      spark.read.parquet(IndexBuild.segmentsDir(d))
+      IndexBuild.readSegments(spark, d)
         .agg(org.apache.spark.sql.functions.sum($"count")).as[Long].head())
   }
 }

@@ -89,7 +89,7 @@ class TrigramIndexSpec extends SparkTestBase {
   }
 
   test("hot trigram keys were sharded (skew handling exercised)") {
-    val segs = spark.read.parquet(TrigramIndex.segmentsDir(triDir))
+    val segs = TrigramIndex.readSegments(spark, triDir)
     assert(segs.groupBy("key").count().filter($"count" > 1).count() > 0,
       "expected at least one head key split into doc-range shards")
   }
@@ -159,21 +159,21 @@ class TrigramIndexSpec extends SparkTestBase {
       assert(inc == scanned(needle), s"needle '$needle'")
     }
     // idempotent re-ingest: same batch id is skipped, remerge output identical
-    val before = spark.read.parquet(TrigramIndex.segmentsDir(d))
+    val before = TrigramIndex.readSegments(spark, d)
       .agg(count(lit(1)), sum(length($"postings"))).collect().toSeq
     TrigramIndex.ingestBatch(spark, rest, "doc_id", "text", d, batchId = 1)
     TrigramIndex.remerge(spark, d, cfg)
-    val after = spark.read.parquet(TrigramIndex.segmentsDir(d))
+    val after = TrigramIndex.readSegments(spark, d)
       .agg(count(lit(1)), sum(length($"postings"))).collect().toSeq
     assert(before == after)
   }
 
   test("resume: rebuilding over existing _SUCCESS dirs is a no-op (identical segments)") {
-    val before = spark.read.parquet(TrigramIndex.segmentsDir(triDir))
+    val before = TrigramIndex.readSegments(spark, triDir)
       .agg(count(lit(1)), sum(length($"postings"))).collect().toSeq
     TrigramIndex.build(spark, df, "doc_id", "text", triDir,
       TrigramIndex.TriConfig(numBuckets = 4, saltThreshold = 100, shardSize = 64))
-    val after = spark.read.parquet(TrigramIndex.segmentsDir(triDir))
+    val after = TrigramIndex.readSegments(spark, triDir)
       .agg(count(lit(1)), sum(length($"postings"))).collect().toSeq
     assert(before == after)
   }

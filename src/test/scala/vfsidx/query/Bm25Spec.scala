@@ -81,7 +81,7 @@ class Bm25Spec extends SparkTestBase {
   }
 
   test("head terms were actually sharded (skew handling exercised)") {
-    val seg = spark.read.parquet(IndexBuild.segmentsDir(dir))
+    val seg = IndexBuild.readSegments(spark, dir)
     val shards = seg.filter($"term" === "the").count()
     assert(shards > 1, "expected head term 'the' split into multiple doc-range shards")
   }
@@ -130,7 +130,7 @@ class Bm25Spec extends SparkTestBase {
   }
 
   test("dictionary df equals distinct docs per term") {
-    val dict = spark.read.parquet(IndexBuild.dictDir(dir))
+    val dict = index.dictionary
     val fromRuns = Oracle.postings(docs).groupBy($"term").count()
     val mismatch = dict.join(fromRuns, "term")
       .filter($"df" =!= $"count").count()
