@@ -12,7 +12,7 @@ class IncrementalSpec extends SparkTestBase {
   private val cfg = IndexBuild.BuildConfig(
     numBatches = 2, numBuckets = 4, saltThreshold = 150, shardSize = 128)
 
-  test("ingest new docs + remerge == full rebuild over the union (rank-identical)") {
+  test("ingested batch is queryable WITHOUT remerge; remerge == fresh build (identical segments)") {
     val base = Synth.corpus(spark, 500, partitions = 4).cache()
     val extra = Synth.corpus(spark, 650, partitions = 4)
       .filter($"doc_id" >= 500).as[vfsidx.corpus.SourceFile].cache()
@@ -20,17 +20,42 @@ class IncrementalSpec extends SparkTestBase {
 
     val dInc = tmpDir("inc_a")
     IndexBuild.build(spark, base, dInc, cfg)
-    IndexBuild.ingestBatch(spark, extra, dInc, batchId = cfg.numBatches)
-    IndexBuild.remerge(spark, dInc, cfg)
-
-    val idx = new Bm25Index(spark, dInc)
-    for (q <- Seq("index merge search", "the", "needle_600")) {
-      val got = idx.topKOr(q, 10).as[(Long, Double)].collect().toSeq
-      val want = Oracle.topKOr(spark, union, q, 10).as[(Long, Double)].collect().toSeq
-      assert(got == want, s"query: $q")
+    IndexBuild.ingestBatch(spark, extra, dInc, batchId = cfg.numBatches, cfg)
+    // two generations, NO remerge — BM25 must already be exact over the
+    // union (idf/avgdl derive from merged generation stats)
+    assert(IndexBuild.generations(spark, dInc) == Seq((0, 1), (2, 2)))
+    def checkRanks(): Unit = {
+      val idx = new Bm25Index(spark, dInc)
+      for (q <- Seq("index merge search", "the", "needle_600")) {
+        val got = idx.topKOr(q, 10).as[(Long, Double)].collect().toSeq
+        val want = Oracle.topKOr(spark, union, q, 10).as[(Long, Double)].collect().toSeq
+        assert(got == want, s"query: $q")
+      }
+      assert(idx.topKOr("needle_600", 5).as[(Long, Double)].collect().map(_._1).toSeq == Seq(600L))
     }
-    // the new doc is findable
-    assert(idx.topKOr("needle_600", 5).as[(Long, Double)].collect().map(_._1).toSeq == Seq(600L))
+    checkRanks()
+
+    // lineage audit: the refresh shuffled ONLY the new batch's postings
+    val linSeg = spark.read.parquet(IndexBuild.lineageDir(dInc))
+      .filter($"stage" === "segments").as[LineageRow].collect()
+    val newPost = linSeg.filter(_.gen == "2_2").map(_.n_postings).sum
+    val basePost = linSeg.filter(_.gen == "0_1").map(_.n_postings).sum
+    assert(newPost > 0 && basePost > 0 && newPost < basePost / 2,
+      s"refresh shuffled $newPost postings vs base $basePost")
+
+    // full compaction: rank-identity preserved AND derived tables identical
+    // (same (term, shard) postings bytes) to a fresh build over the union
+    IndexBuild.remerge(spark, dInc, cfg)
+    assert(IndexBuild.generations(spark, dInc) == Seq((0, 2)))
+    checkRanks()
+    val dFresh = tmpDir("inc_fresh")
+    IndexBuild.build(spark, union, dFresh, cfg.copy(numBatches = 3))
+    def fingerprint(dir: String) = IndexBuild.readSegments(spark, dir)
+      .select($"term", $"shard", $"count",
+        org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.hex($"postings")).as("h"))
+      .as[(String, Int, Int, String)].collect().toSeq.sorted
+    assert(fingerprint(dInc) == fingerprint(dFresh))
   }
 
   test("ingestBatch is idempotent (re-run skipped via _SUCCESS)") {
@@ -87,6 +112,46 @@ class IncrementalSpec extends SparkTestBase {
     val idx2 = new Bm25Index(spark, idx)
     for ((w, expected) <- Seq("alpha" -> 1, "gamma" -> 1, "epsilon" -> 1, "shared" -> 5))
       assert(idx2.topKOr(w, 10).count() == expected, s"term $w")
+  }
+
+  test("repeated refreshes: bounded generation count via auto-compaction, queries stay exact") {
+    val data = tmpDir("refresh_many")
+    val idx = tmpDir("refresh_many_idx")
+    val tight = cfg.copy(numBatches = 1, maxGenerations = 2)
+    def writeFile(name: String, words: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$data/$name"),
+        words.map(w => s"""{"content": "$w shared corpus"}""").mkString("\n").getBytes("UTF-8"))
+    writeFile("f0.json", Seq("w0a", "w0b"))
+    Ingest.refreshJson(spark, idx, data, "content", tight)
+    for (i <- 1 to 5) {
+      writeFile(s"f$i.json", Seq(s"w${i}a", s"w${i}b"))
+      Ingest.refreshJson(spark, idx, data, "content", tight)
+      // the policy folds the tail whenever count exceeds maxGenerations,
+      // so it never stays above maxGenerations + 1 after a refresh
+      val gens = IndexBuild.generations(spark, idx)
+      assert(gens.size <= tight.maxGenerations + 1, s"after refresh $i: $gens")
+    }
+    val bm = new Bm25Index(spark, idx)
+    for (i <- 0 to 5)
+      assert(bm.topKOr(s"w${i}a", 5).count() == 1, s"term w${i}a")
+    assert(bm.topKOr("shared", 20).count() == 12)
+    // doc ids stayed dense across refreshes
+    val ids = spark.read.parquet(IndexBuild.docStatsDir(idx))
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == (0L until 12L))
+  }
+
+  test("refresh into a pre-catalog index dir fails fast (no silent data loss)") {
+    val data = tmpDir("refresh_guard")
+    val idx = tmpDir("refresh_guard_idx")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$data/a.json"),
+      """{"content": "alpha beta"}""".getBytes("UTF-8"))
+    // an index built OUTSIDE the refresh flow already occupies runs/batch=0
+    IndexBuild.build(spark, Synth.corpus(spark, 50, partitions = 2),
+      idx, cfg.copy(numBatches = 1))
+    intercept[IllegalStateException] {
+      Ingest.refreshJson(spark, idx, data, "content", cfg)
+    }
   }
 
   test("LZ4-compressed JSON-lines ingest transparently (reference S3)") {

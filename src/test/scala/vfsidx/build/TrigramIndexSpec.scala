@@ -120,7 +120,15 @@ class TrigramIndexSpec extends SparkTestBase {
       """num > 44 && num <= 44""",                // empty range
       """num == 44 && num == 45""",               // contradictory equalities
       """num == 44 && num >= 30 && text.search("the batch")""",
-      """text.search("ab")""")   // <3 runes -> empty on BOTH paths
+      """text.search("ab")""",   // <3 runes -> empty on BOTH paths
+      // || groups: candidate sets union, semi-join dedups, OR re-applied
+      """text.search("the batch") || num == 44""",
+      """text.search("the batch") && num < 50 || text.search("data merge") && num >= 90""",
+      """num == 44 || num == 45 || num == 46""",
+      """text.search("zz_nowhere") || num == 44""",   // one empty group
+      // string ordering comparisons stay scan predicates over the candidates
+      """text >= "emoji" && text < "emojj"""",
+      """text.search("the batch") && text > "a"""")
     for (e <- exprs) {
       val a = QueryParser.queryIndexed(spark, df, "doc_id", root, e)
         .orderBy($"doc_id").collect().toSeq
@@ -166,6 +174,53 @@ class TrigramIndexSpec extends SparkTestBase {
     val after = TrigramIndex.readSegments(spark, d)
       .agg(count(lit(1)), sum(length($"postings"))).collect().toSeq
     assert(before == after)
+  }
+
+  test("ingested batch is queryable WITHOUT remerge (generations union)") {
+    val d = tmpDir("trigen")
+    val half = df.filter($"doc_id" < 200)
+    val rest = df.filter($"doc_id" >= 200)
+    val cfg = TrigramIndex.TriConfig(numBuckets = 4, saltThreshold = 100, shardSize = 64)
+    TrigramIndex.build(spark, half, "doc_id", "text", d, cfg)
+    TrigramIndex.ingestBatch(spark, rest, "doc_id", "text", d, batchId = 1, cfg)
+    assert(TrigramIndex.generations(spark, d) == Seq((0, 0), (1, 1)))
+    for (needle <- Seq("the batch", "鬼滅の", "😀 in", "merge"))
+      assert(TrigramIndex.searchExact(spark, d, df, "doc_id", "text", needle)
+        .select($"doc_id").as[Long].collect().sorted.toSeq == scanned(needle),
+        s"needle '$needle'")
+  }
+
+  test("compactTail folds tail generations; results and segment bytes identical to fresh") {
+    val d = tmpDir("tricompact")
+    val cfg = TrigramIndex.TriConfig(numBuckets = 4, saltThreshold = 100, shardSize = 64)
+    val slices = Seq(
+      df.filter($"doc_id" < 150),
+      df.filter($"doc_id" >= 150 && $"doc_id" < 250),
+      df.filter($"doc_id" >= 250 && $"doc_id" < 350),
+      df.filter($"doc_id" >= 350))
+    TrigramIndex.build(spark, slices.head, "doc_id", "text", d, cfg)
+    slices.tail.zipWithIndex.foreach { case (s, i) =>
+      TrigramIndex.ingestBatch(spark, s, "doc_id", "text", d, batchId = i + 1, cfg)
+    }
+    assert(TrigramIndex.generations(spark, d).size == 4)
+    assert(TrigramIndex.compactTail(spark, d, cfg))
+    assert(TrigramIndex.generations(spark, d) == Seq((0, 0), (1, 3)))
+    for (needle <- Seq("the batch", "鬼滅の", "merge"))
+      assert(TrigramIndex.searchExact(spark, d, df, "doc_id", "text", needle)
+        .select($"doc_id").as[Long].collect().sorted.toSeq == scanned(needle),
+        s"after compactTail: '$needle'")
+    // full compaction == fresh single-generation build over everything
+    TrigramIndex.remerge(spark, d, cfg)
+    assert(TrigramIndex.generations(spark, d) == Seq((0, 3)))
+    val fresh = tmpDir("trifresh")
+    TrigramIndex.build(spark, df, "doc_id", "text", fresh, cfg)
+    def fingerprint(dir: String) = TrigramIndex.readSegments(spark, dir)
+      .select($"key", $"shard", $"count", md5(hex($"postings")).as("h"))
+      .as[(Long, Int, Int, String)].collect().toSeq.sorted
+    // same postings per (key, shard) — compaction re-derives exactly what a
+    // fresh build over the union produces (bucket ids may differ: the fresh
+    // build shuffles ONE batch where compaction shuffles four)
+    assert(fingerprint(d) == fingerprint(fresh))
   }
 
   test("resume: rebuilding over existing _SUCCESS dirs is a no-op (identical segments)") {

@@ -50,4 +50,26 @@ class QueryParserSpec extends SparkTestBase {
   test("parse errors are loud") {
     intercept[IllegalArgumentException](parse("title ~~ 3"))
   }
+
+  test("string ordering comparisons are lexicographic scan predicates") {
+    // reference StringOp accepts <,<=,>,>= on strings
+    // (/root/reference/search_cond.go:793-822) ordering by trigram KEY; we
+    // take SQL lexicographic semantics (documented divergence)
+    val r = query(df, """content >= "戦" && content < "斬"""")
+      .select($"id").as[Long].collect()
+    assert(r.toSeq == Seq(10435L))   // only 戦国時代の合戦
+    assert(query(df, """content >= "a" && content <= "z"""").count() == 1) // "short"
+    assert(query(df, """title > "警視庁"""").count() ==
+      df.filter($"title" > "警視庁").count())
+  }
+
+  test("top-level || is an OR of conjunct groups (&& binds tighter)") {
+    val r = query(df, """title.search("鬼滅の") && id == 132763 || id < 10000""")
+      .select($"id").as[Long].collect().sorted
+    assert(r.toSeq == Seq(1L, 132763L))
+    // quoted || is not a split point
+    assert(parse("""title == "a||b"""") == Seq(Cmp("title", "==", Right("a||b"))))
+    // parse() (pure-conjunction callers) rejects ||
+    intercept[IllegalArgumentException](parse("id > 1 || id < 0"))
+  }
 }
