@@ -58,11 +58,33 @@ object Bench {
     results("vfs_bm25_and") = best { idx.topKAnd("index merge search", 10).collect() }
     results("vfs_bm25_head") = best { idx.topKOr("the int val", 10).collect() }
 
+    // incremental refresh: ingest 5% new docs as ONE sealed generation —
+    // O(new data), no remerge (the extra corpus is materialized untimed,
+    // matching the build entry's table-input shape)
+    val extraN = buildDocs / 20
+    vfsidx.corpus.Synth.corpus(spark, buildDocs + extraN, cpus.toInt)
+      .filter(org.apache.spark.sql.functions.col("doc_id") >= buildDocs)
+      .write.parquet(s"$idxDir/corpus_extra")
+    val extra = {
+      import spark.implicits._
+      spark.read.parquet(s"$idxDir/corpus_extra").as[vfsidx.corpus.SourceFile]
+    }
+    results("vfs_refresh_5pct") = time {
+      vfsidx.build.IndexBuild.ingestBatch(spark, extra, idxDir, batchId = 4,
+        vfsidx.build.IndexBuild.BuildConfig(
+          numBatches = 4, numBuckets = cpus.toInt,
+          saltThreshold = buildDocs / 10, shardSize = 4096))
+    }
+    // query latency across the 2 resulting generations (stays flat: the
+    // extra generation adds pruned-scan rows, not a second index walk)
+    val idx2 = new vfsidx.query.Bm25Index(spark, idxDir)
+    results("vfs_bm25_or_2gen") = best { idx2.topKOr("index merge search query", 10).collect() }
+
     // --- operator headliners on the driver's sf tables ---
     val headliners = Seq(
       "q1_agg", "q4_join_multi", "q9_window", "q13_sessionize",
-      "ft_bm25_topk", "ft_trigram_search", "ft_query_lang", "ft_nears",
-      "num_index_range",
+      "ft_bm25_topk", "ft_trigram_search", "ft_query_lang", "ft_query_or",
+      "ft_nears", "num_index_range", "ft_count_term",
       "dedup_minhash_lsh", "dedup_simhash", "ann_cosine_topk",
       "text_quality", "stream_window_agg")
     // warm the documents-table index set (word + trigram + numeric) outside timing

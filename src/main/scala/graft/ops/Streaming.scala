@@ -57,15 +57,23 @@ object Streaming {
       val schema = ev.schema
       val root = java.nio.file.Files.createTempDirectory("graft_stream_").toString
       val inDir = s"$root/in"
-      new java.io.File(inDir).mkdirs()
+      // all staging through Hadoop FileSystem (like every other write path):
+      // on HDFS/S3A the same code stages the replay; java.io would silently
+      // no-op off the local machine
+      val hconf = s.sparkContext.hadoopConfiguration
+      val inPath = new org.apache.hadoop.fs.Path(inDir)
+      val fs = inPath.getFileSystem(hconf)
+      fs.mkdirs(inPath)
       def stageOne(df: DataFrame, stage: String, name: String, mtime: Long): Unit = {
         df.coalesce(1).write.parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+          .map(_.getPath)
+          .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
           .head
-        val dst = new java.io.File(inDir, s"$name.parquet")
-        java.nio.file.Files.copy(part.toPath, dst.toPath)
-        dst.setLastModified(mtime)
+        val dst = new org.apache.hadoop.fs.Path(inPath, s"$name.parquet")
+        fs.rename(part, dst)
+        // the file source orders micro-batches by mtime; -1 leaves atime alone
+        fs.setTimes(dst, mtime, -1)
       }
       val now = System.currentTimeMillis()
       val evMs = ev.withColumn("_ms", unix_millis($"ts".cast("timestamp")))
