@@ -372,10 +372,21 @@ object IndexBuild {
         System.currentTimeMillis() - t0)
       TableIO.append(newDocs.select($"doc_id", $"sha256").toDF(), docStatsDir(dir))
     }
-    buildGeneration(spark, dir, batchId, batchId, nNew, cfg, lineage)
+    // Size the generation's bucket count to ITS data volume: a 1% refresh
+    // must not fan into numBuckets near-empty files — every later query
+    // scan would pay per-file listing/footer overhead per generation.
+    // Compaction re-spreads the folded data across the full bucket count.
+    buildGeneration(spark, dir, batchId, batchId, nNew,
+      cfg.copy(numBuckets = ingestBuckets(nNew, cfg)), lineage)
     if (lineage.nonEmpty)
       TableIO.append(spark.createDataset(lineage.toSeq).toDF(), lineageDir(dir))
   }
+
+  /** Bucket count for a freshly-ingested generation: ~one shuffle bucket
+    * per `shardSize` docs, capped at the configured full parallelism. */
+  private[build] def ingestBuckets(nDocs: Long, cfg: BuildConfig): Int =
+    math.max(1, math.min(cfg.numBuckets.toLong,
+      (nDocs + cfg.shardSize - 1) / cfg.shardSize)).toInt
 
   /** Fold the CONTIGUOUS generations `gens` into one covering their union:
     * rebuild the derived tables from exactly those batches' runs (the runs

@@ -147,7 +147,13 @@ object TrigramIndex {
     val bDir = runsBatchDir(dir, batchId)
     if (!TableIO.done(spark, bDir))
       TableIO.write(tokenizeRuns(newDocs, idCol, strCol), bDir)
-    buildGeneration(spark, dir, batchId, batchId, cfg)
+    // bucket count sized to the batch (see IndexBuild.ingestBuckets): a
+    // small refresh generation must not fan into numBuckets near-empty
+    // files that every query scan then has to list and open
+    val nNew = newDocs.count()
+    val buckets = math.max(1L, math.min(cfg.numBuckets.toLong,
+      (nNew + cfg.shardSize - 1) / cfg.shardSize)).toInt
+    buildGeneration(spark, dir, batchId, batchId, cfg.copy(numBuckets = buckets))
   }
 
   /** Fold contiguous generations into one covering their union by
