@@ -18,6 +18,10 @@ import vfsidx.query.Bm25Index
   *                                                 indexes (comma-separated cols)
   *   vfsidx.Main query <parquetTable> <expr>       reference query language, e.g.
   *                                                 'title.search("x") && id == 3'
+  *   vfsidx.Main indexjson <dir> <dataDir> [field] dir refresh: ingests only NEW
+  *                                                 files as a sealed generation
+  *   vfsidx.Main compact <indexDir> [full]         fold segment generations
+  *                                                 (tail by default, all with `full`)
   *
   * Global flags:
   *   --output=json|csv    stream results as JSON lines / RFC-4180 CSV
@@ -97,6 +101,16 @@ object Main {
       def cols(s: String) = s.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
       vfsidx.query.QueryParser.buildIndexes(spark, df, idCol, cols(strCols), cols(numCols), root)
       println(s"registered indexes for $table -> $root (tri: $strCols, num: $numCols)")
+    case "compact" :: dir :: rest =>
+      // fold accumulated segment generations (the reference's explicit
+      // merge trigger; `full` folds everything, default folds the tail —
+      // bounded work like the reference's mergeDuration deadline)
+      val before = IndexBuild.generations(spark, dir)
+      if (rest.headOption.contains("full")) IndexBuild.remerge(spark, dir)
+      else IndexBuild.compactTail(spark, dir)
+      val after = IndexBuild.generations(spark, dir)
+      println(s"compacted $dir: generations ${before.size} -> ${after.size} " +
+        after.map { case (l, h) => s"gen=${l}_$h" }.mkString("[", " ", "]"))
     case "indexjson" :: dir :: dataDir :: rest =>
       // the reference's `vfs-index index --data=<dir>` over JSON files;
       // re-running diffs the directory against the ingest catalog and
@@ -105,7 +119,8 @@ object Main {
       val t0 = System.nanoTime()
       val (nFiles, nNew) = vfsidx.corpus.Ingest.refreshJson(spark, dir, dataDir, contentField)
       val n = spark.read.parquet(vfsidx.build.IndexBuild.docStatsDir(dir)).count()
-      println(f"refreshed: $nFiles new files / $nNew new docs from $dataDir in ${(System.nanoTime() - t0) / 1e9}%.1f s; index now covers $n docs -> $dir")
+      val gens = IndexBuild.generations(spark, dir).size
+      println(f"refreshed: $nFiles new files / $nNew new docs from $dataDir in ${(System.nanoTime() - t0) / 1e9}%.1f s; index now covers $n docs in $gens generation(s) -> $dir")
     case "query" :: table :: exprParts if exprParts.nonEmpty =>
       val expr = exprParts.mkString(" ")
       val df = spark.read.parquet(table)
@@ -125,7 +140,7 @@ object Main {
         rows.foreach(r => println("  " + r.mkString(" | ").take(120)))
       } else vfsidx.query.ResultEncoder.emit(res, output)
     case _ =>
-      System.err.println("usage: build <dir> [nDocs] | search <dir> <query...> | searchand <dir> <query...> | regist <table> <root> <idCol> <strCols> <numCols> | query <table> <expr> [--index=<root>] [--output=json|csv]")
+      System.err.println("usage: build <dir> [nDocs] | search <dir> <query...> | searchand <dir> <query...> | regist <table> <root> <idCol> <strCols> <numCols> | indexjson <dir> <dataDir> [contentField] | compact <dir> [full] | nears <root> <col> <needle...> | query <table> <expr> [--index=<root>] [--output=json|csv]")
       sys.exit(2)
   }
 }

@@ -55,6 +55,7 @@ object TrigramIndex {
 
   def runsDir(dir: String) = s"$dir/tri_runs"
   def runsBatchDir(dir: String, batch: Int) = s"$dir/tri_runs/batch=$batch"
+  def lineageDir(dir: String) = s"$dir/tri_lineage"
   def dictGenDir(dir: String, lo: Int, hi: Int) = s"$dir/tri_dict/gen=${lo}_$hi"
   def segmentsGenDir(dir: String, lo: Int, hi: Int) = s"$dir/tri_segments/gen=${lo}_$hi"
 
@@ -205,6 +206,7 @@ object TrigramIndex {
 
     val segDir = segmentsGenDir(dir, lo, hi)
     if (!TableIO.done(spark, segDir)) timed(s"tri_segments:$gen") {
+      val t0 = System.currentTimeMillis()
       // Zipf head is tiny (#keys with df > threshold < totalPostings/threshold)
       val headKeys = spark.read.parquet(dDir)
         .filter($"df" > cfg.saltThreshold)
@@ -220,6 +222,21 @@ object TrigramIndex {
         .as[(Long, Long, Int)]
         .mapPartitions(encodePartition)
       TableIO.write(segs.toDF(), segDir)
+
+      // per-partition lineage (north_rule): segment id, key range (hex —
+      // the reference's filename key-range form), postings, bytes, elapsed
+      val lin = spark.read.parquet(segDir)
+        .groupBy($"bucket")
+        .agg(min($"key").as("kf"), max($"key").as("kl"),
+          sum($"count").as("np"), sum(length($"postings")).as("bytes"))
+        .as[(Int, Long, Long, Long, Long)]
+        .collect()
+        .map { case (pid, kf, kl, np, bytes) =>
+          LineageRow("tri_segments", gen, pid, f"$kf%012x", f"$kl%012x",
+            0L, np, bytes, System.currentTimeMillis() - t0)
+        }
+      if (lin.nonEmpty)
+        TableIO.append(spark.createDataset(lin.toIndexedSeq).toDF(), lineageDir(dir))
     }
   }
 

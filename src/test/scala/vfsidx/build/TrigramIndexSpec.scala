@@ -221,6 +221,12 @@ class TrigramIndexSpec extends SparkTestBase {
     // fresh build over the union produces (bucket ids may differ: the fresh
     // build shuffles ONE batch where compaction shuffles four)
     assert(fingerprint(d) == fingerprint(fresh))
+    // per-generation lineage rows were recorded (north_rule audit trail):
+    // one batch of rows per generation built, keyed by its gen tag
+    val lin = spark.read.parquet(TrigramIndex.lineageDir(d))
+    val gens = lin.select($"gen").as[String].collect().toSet
+    assert(Set("0_0", "1_3", "0_3").subsetOf(gens), s"lineage gens: $gens")
+    assert(lin.filter($"stage" === "tri_segments").count() > 0)
   }
 
   test("resume: rebuilding over existing _SUCCESS dirs is a no-op (identical segments)") {
