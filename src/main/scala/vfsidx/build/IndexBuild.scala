@@ -267,24 +267,27 @@ object IndexBuild {
     if (!TableIO.done(spark, docStatsDir(dir))) timed("doc_stats") {
       TableIO.write(docs.select($"doc_id", $"sha256").toDF(), docStatsDir(dir))
     }
-    buildGeneration(spark, dir, 0, cfg.numBatches - 1, nDocs, cfg, lineage)
+    buildGeneration(spark, dir, 0 until cfg.numBatches, nDocs, cfg, lineage)
 
     if (lineage.nonEmpty) timed("lineage") {
       TableIO.append(spark.createDataset(lineage.toSeq).toDF(), lineageDir(dir))
     }
   }
 
-  /** Derived tables (dictionary + stats + segments) for batches [lo, hi],
-    * written under `gen=lo_hi`. Each table is `_SUCCESS`-gated for resume.
+  /** Derived tables (dictionary + stats + segments) for the given runs
+    * `batches`, written under `gen=lo_hi` (lo/hi = min/max batch — the range
+    * may contain gaps when streaming epochs skipped slots; only the listed
+    * batches are read). Each table is `_SUCCESS`-gated for resume.
     * Shared by [[build]] (one generation over everything), [[ingestBatch]]
     * (one generation per new batch) and [[compactTail]]/[[remerge]]. */
-  private def buildGeneration(spark: SparkSession, dir: String, lo: Int, hi: Int,
+  private def buildGeneration(spark: SparkSession, dir: String, batches: Seq[Int],
                               nDocs: Long, cfg: BuildConfig,
                               lineage: scala.collection.mutable.ArrayBuffer[LineageRow]): Unit = {
     import spark.implicits._
+    val (lo, hi) = (batches.min, batches.max)
     val gen = s"${lo}_$hi"
     lazy val allRuns =
-      spark.read.parquet((lo to hi).map(runsDir(dir, _)): _*).as[Posting]
+      spark.read.parquet(batches.map(runsDir(dir, _)): _*).as[Posting]
 
     val dDir = dictGenDir(dir, lo, hi)
     if (!TableIO.done(spark, dDir)) timed(s"dict:$gen") {
@@ -376,7 +379,7 @@ object IndexBuild {
     // must not fan into numBuckets near-empty files — every later query
     // scan would pay per-file listing/footer overhead per generation.
     // Compaction re-spreads the folded data across the full bucket count.
-    buildGeneration(spark, dir, batchId, batchId, nNew,
+    buildGeneration(spark, dir, Seq(batchId), nNew,
       cfg.copy(numBuckets = ingestBuckets(nNew, cfg)), lineage)
     if (lineage.nonEmpty)
       TableIO.append(spark.createDataset(lineage.toSeq).toDF(), lineageDir(dir))
@@ -399,16 +402,18 @@ object IndexBuild {
                    cfg: BuildConfig): Unit = {
     import spark.implicits._
     require(gens.size >= 2, "fold needs at least two generations")
-    gens.sliding(2).foreach { case Seq(a, b) =>
-      require(a._2 + 1 == b._1, s"generations not contiguous: $a then $b")
-    case _ => ()
-    }
-    val (lo, hi) = (gens.head._1, gens.last._2)
+    // The combined range [min, max] may contain batch ids no generation
+    // covers (streaming epochs can skip slots); only the folded generations'
+    // OWN batches are read. Safe because slot allocation is monotone — a
+    // future generation always gets a batch id above every existing one, so
+    // nothing can later appear inside the committed combined range (which
+    // the generation listing would hide via the containment rule).
+    val batches = gens.flatMap { case (l, h) => l to h }
     val nDocs = spark.read
       .parquet(gens.map { case (l, h) => statsGenDir(dir, l, h) }: _*)
       .agg(sum($"n_docs")).as[Long].head()
     val lineage = scala.collection.mutable.ArrayBuffer[LineageRow]()
-    buildGeneration(spark, dir, lo, hi, nDocs, cfg, lineage)
+    buildGeneration(spark, dir, batches, nDocs, cfg, lineage)
     gens.foreach { case (l, h) =>
       Seq(segmentsGenDir(dir, l, h), dictGenDir(dir, l, h), statsGenDir(dir, l, h))
         .foreach(TableIO.rmrf(spark, _))

@@ -135,7 +135,7 @@ object TrigramIndex {
     if (!TableIO.done(spark, runsBatchDir(dir, 0))) timed("tri_runs") {
       TableIO.write(tokenizeRuns(df, idCol, strCol), runsBatchDir(dir, 0))
     }
-    buildGeneration(spark, dir, 0, 0, cfg)
+    buildGeneration(spark, dir, Seq(0), cfg)
   }
 
   /** Incremental ingest (the reference's re-`Regist` over new data files,
@@ -154,7 +154,7 @@ object TrigramIndex {
     val nNew = newDocs.count()
     val buckets = math.max(1L, math.min(cfg.numBuckets.toLong,
       (nNew + cfg.shardSize - 1) / cfg.shardSize)).toInt
-    buildGeneration(spark, dir, batchId, batchId, cfg.copy(numBuckets = buckets))
+    buildGeneration(spark, dir, Seq(batchId), cfg.copy(numBuckets = buckets))
   }
 
   /** Fold contiguous generations into one covering their union by
@@ -164,11 +164,10 @@ object TrigramIndex {
   private def fold(spark: SparkSession, dir: String, gens: Seq[(Int, Int)],
                    cfg: TriConfig): Unit = {
     require(gens.size >= 2, "fold needs at least two generations")
-    gens.sliding(2).foreach { case Seq(a, b) =>
-      require(a._2 + 1 == b._1, s"generations not contiguous: $a then $b")
-    case _ => ()
-    }
-    buildGeneration(spark, dir, gens.head._1, gens.last._2, cfg)
+    // only the folded generations' own batches are read — the combined
+    // range may contain skipped slots (see IndexBuild.fold for the
+    // monotone-slot safety argument)
+    buildGeneration(spark, dir, gens.flatMap { case (l, h) => l to h }, cfg)
     gens.foreach { case (l, h) =>
       Seq(segmentsGenDir(dir, l, h), dictGenDir(dir, l, h))
         .foreach(IndexBuild.TableIO.rmrf(spark, _))
@@ -190,14 +189,15 @@ object TrigramIndex {
     if (gens.size >= 2) fold(spark, dir, gens, cfg)
   }
 
-  /** Dict + segments for runs batches [lo, hi] under `gen=lo_hi`;
+  /** Dict + segments for the given runs `batches` under `gen=<min>_<max>`;
     * `_SUCCESS`-gated per table for resume. */
-  private def buildGeneration(spark: SparkSession, dir: String, lo: Int, hi: Int,
+  private def buildGeneration(spark: SparkSession, dir: String, batches: Seq[Int],
                               cfg: TriConfig): Unit = {
     import spark.implicits._
+    val (lo, hi) = (batches.min, batches.max)
     val gen = s"${lo}_$hi"
     lazy val runs =
-      spark.read.parquet((lo to hi).map(runsBatchDir(dir, _)): _*)
+      spark.read.parquet(batches.map(runsBatchDir(dir, _)): _*)
 
     val dDir = dictGenDir(dir, lo, hi)
     if (!TableIO.done(spark, dDir)) timed(s"tri_dict:$gen") {

@@ -83,6 +83,77 @@ object Ingest {
                  cfg: vfsidx.build.IndexBuild.BuildConfig = vfsidx.build.IndexBuild.BuildConfig(numBatches = 1, numBuckets = 8)): (Int, Long) =
     refresh(spark, indexDir, dataDir, contentCol, "csv", cfg)
 
+  /** CONTINUOUS index maintenance (Structured Streaming over the ingest
+    * directory): every micro-batch of new JSON files becomes one postings
+    * batch sealed as its own immediately-queryable generation — the
+    * streaming twin of [[refreshJson]], enabled by the log-structured
+    * generation design (the reference's closest analog is re-running
+    * `vfs-index index -data=<dir>` in a loop,
+    * /root/reference/indexer.go:77-93).
+    *
+    * Mechanics: the file source tracks processed files in the checkpoint, so
+    * restarts ingest only NEW files; `foreachBatch` is keyed to a stable
+    * runs-batch slot (`batchBase + epochId`), and [[vfsidx.build.IndexBuild.ingestBatch]]
+    * is idempotent per slot (`_SUCCESS`-gated) — a redelivered epoch after a
+    * crash lands in its original slot and is skipped. doc_ids continue
+    * densely from the persisted corpus size. Auto-compaction bounds the
+    * generation count exactly as in the batch refresh path.
+    *
+    * Runs with `Trigger.AvailableNow` for a bounded replay (tests/backfill);
+    * drop the trigger for an unbounded production stream. */
+  def streamJson(spark: SparkSession, indexDir: String, dataDir: String,
+                 contentCol: String, checkpointDir: String,
+                 cfg: vfsidx.build.IndexBuild.BuildConfig =
+                   vfsidx.build.IndexBuild.BuildConfig(numBatches = 1, numBuckets = 8),
+                 maxFilesPerTrigger: Int = 1): Unit = {
+    import vfsidx.build.IndexBuild
+    val schema = spark.read.option("multiLine", "false").json(dataDir).schema
+    // stable slot base: past the highest existing runs batch (a batch
+    // refresh may have run before the stream started)
+    val runsPath = new org.apache.hadoop.fs.Path(s"$indexDir/runs")
+    val fs = runsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchBase =
+      if (!fs.exists(runsPath)) 0
+      else fs.listStatus(runsPath).map(_.getPath.getName)
+        .collect { case n if n.startsWith("batch=") => n.stripPrefix("batch=").toInt }
+        .foldLeft(-1)(math.max) + 1
+    val stream = spark.readStream.schema(schema)
+      .option("multiLine", "false")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dataDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, epochId: Long) =>
+        val slot = batchBase + epochId.toInt
+        // an empty epoch skips its slot — safe: slot allocation stays
+        // monotone and compaction reads only existing batches
+        if (df.isEmpty) ()
+        else {
+        // ids continue after the persisted corpus (docStats footer count —
+        // metadata only); idempotent redelivery never reaches this count
+        // because the slot's _SUCCESS short-circuits inside ingestBatch,
+        // but a REPLAYED epoch before its runs committed re-derives the
+        // same base (docStats is appended inside the same gate).
+        val statsPath = new org.apache.hadoop.fs.Path(IndexBuild.docStatsDir(indexDir))
+        val base =
+          if (statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(statsPath))
+            spark.read.parquet(IndexBuild.docStatsDir(indexDir)).count()
+          else 0L
+        val corpus = toCorpus(df, contentCol,
+          repo = s"stream/batch=$slot", idOffset = base).cache()
+        try {
+          IndexBuild.ingestBatch(spark, corpus, indexDir, slot, cfg)
+          if (IndexBuild.generations(spark, indexDir).size > cfg.maxGenerations)
+            IndexBuild.compactTail(spark, indexDir, cfg)
+          ()
+        } finally corpus.unpersist()
+        }
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   private def refresh(spark: SparkSession, indexDir: String, dataDir: String,
                       contentCol: String, format: String,
                       cfg: vfsidx.build.IndexBuild.BuildConfig): (Int, Long) = {

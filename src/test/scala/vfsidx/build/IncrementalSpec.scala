@@ -141,6 +141,39 @@ class IncrementalSpec extends SparkTestBase {
     assert(ids == (0L until 12L))
   }
 
+  test("STREAMING index maintenance: each micro-batch becomes a sealed generation; restart ingests only new files") {
+    val data = tmpDir("stream_ing")
+    val idx = tmpDir("stream_ing_idx")
+    val ckpt = tmpDir("stream_ing_ckpt")
+    def writeFile(name: String, words: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$data/$name"),
+        words.map(w => s"""{"content": "$w streamed corpus"}""").mkString("\n").getBytes("UTF-8"))
+    writeFile("s0.json", Seq("sw0a", "sw0b"))
+    writeFile("s1.json", Seq("sw1a"))
+    // maxFilesPerTrigger=1 -> each file is its own micro-batch/generation
+    Ingest.streamJson(spark, idx, data, "content", ckpt, cfg.copy(numBatches = 1))
+    assert(IndexBuild.generations(spark, idx).size == 2)
+    val bm1 = new Bm25Index(spark, idx)
+    assert(bm1.topKOr("sw0a", 5).count() == 1)
+    assert(bm1.topKOr("sw1a", 5).count() == 1)
+    assert(bm1.topKOr("streamed", 10).count() == 3)
+    // restart with one NEW file: the checkpoint skips processed files, the
+    // new epoch lands in the next monotone slot
+    writeFile("s2.json", Seq("sw2a", "sw2b"))
+    Ingest.streamJson(spark, idx, data, "content", ckpt, cfg.copy(numBatches = 1))
+    val bm2 = new Bm25Index(spark, idx)
+    assert(bm2.topKOr("sw2a", 5).count() == 1)
+    assert(bm2.topKOr("streamed", 10).count() == 5)
+    // ids stayed dense across micro-batches and restarts
+    val ids = spark.read.parquet(IndexBuild.docStatsDir(idx))
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == (0L until 5L))
+    // a full compaction over streamed generations is still exact
+    IndexBuild.remerge(spark, idx, cfg)
+    assert(IndexBuild.generations(spark, idx).size == 1)
+    assert(new Bm25Index(spark, idx).topKOr("streamed", 10).count() == 5)
+  }
+
   test("refresh into a pre-catalog index dir fails fast (no silent data loss)") {
     val data = tmpDir("refresh_guard")
     val idx = tmpDir("refresh_guard_idx")
