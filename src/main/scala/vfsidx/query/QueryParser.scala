@@ -149,8 +149,14 @@ object QueryParser {
     * and every predicate is re-applied by [[queryIndexed]]. */
   private def groupCandidates(spark: SparkSession, exprs: Seq[Expr],
                               tableRows: => Long, indexRoot: String): Option[DataFrame] = {
+    // string equality shares the reference's containment semantics
+    // (search_cond.go:728-791), so it consults the same trigram index;
+    // the re-applied predicate keeps it exact either way
     val searchSets: Seq[DataFrame] = exprs.flatMap {
       case Search(c, s) if TrigramIndex.exists(spark, triDir(indexRoot, c)) &&
+          Tokenizer.triKeys(s).nonEmpty =>
+        Some(TrigramIndex.searchCandidates(spark, triDir(indexRoot, c), s))
+      case Cmp(c, "==", Right(s)) if TrigramIndex.exists(spark, triDir(indexRoot, c)) &&
           Tokenizer.triKeys(s).nonEmpty =>
         Some(TrigramIndex.searchCandidates(spark, triDir(indexRoot, c), s))
       case _ => None

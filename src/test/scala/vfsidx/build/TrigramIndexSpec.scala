@@ -128,7 +128,11 @@ class TrigramIndexSpec extends SparkTestBase {
       """text.search("zz_nowhere") || num == 44""",   // one empty group
       // string ordering comparisons stay scan predicates over the candidates
       """text >= "emoji" && text < "emojj"""",
-      """text.search("the batch") && text > "a"""")
+      """text.search("the batch") && text > "a"""",
+      // string == is containment (reference semantics) and consults the
+      // trigram index like .search()
+      """text == "the batch" && num < 50""",
+      """text == "鬼滅の刃"""")
     for (e <- exprs) {
       val a = QueryParser.queryIndexed(spark, df, "doc_id", root, e)
         .orderBy($"doc_id").collect().toSeq
