@@ -220,10 +220,21 @@ object IndexBuild {
     // executors saturated where sequential jobs would leave slots idle
     // between stages) ----
     val pending = (0 until cfg.numBatches).filter(b => !TableIO.done(spark, runsDir(dir, b)))
-    if (pending.nonEmpty) {
+    val needDocStats = !TableIO.done(spark, docStatsDir(dir))
+    if (pending.nonEmpty || needDocStats) {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.max(1, math.min(cfg.ingestParallelism, pending.size)))
+        math.max(1, math.min(cfg.ingestParallelism, pending.size + 1)))
       try {
+        // doc_stats is independent of the postings (a (doc_id, sha256)
+        // projection of the same corpus) — it rides the same pool instead
+        // of serializing after it
+        val dsFuture =
+          if (!needDocStats) None
+          else Some(pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = timed("doc_stats") {
+              TableIO.write(docs.select($"doc_id", $"sha256").toDF(), docStatsDir(dir))
+            }
+          }))
         val futures = pending.map { b =>
           pool.submit(new java.util.concurrent.Callable[LineageRow] {
             def call(): LineageRow = timed(s"batch$b") {
@@ -251,7 +262,8 @@ object IndexBuild {
         // are reported together instead of losing the late ones
         val outcomes = futures.map(f => scala.util.Try(f.get()))
         outcomes.collect { case scala.util.Success(r) => r }.foreach(lineage += _)
-        val failures = outcomes.collect { case scala.util.Failure(e) => e }
+        val failures = outcomes.collect { case scala.util.Failure(e) => e } ++
+          dsFuture.flatMap(f => scala.util.Try(f.get()).failed.toOption)
         if (failures.nonEmpty) {
           if (lineage.nonEmpty)
             TableIO.append(spark.createDataset(lineage.toSeq).toDF(), lineageDir(dir))
@@ -262,11 +274,6 @@ object IndexBuild {
       } finally pool.shutdown()
     }
 
-    // ---- stage 2: doc fidelity table. doc_stats is a columnar projection
-    // (doc_id, sha256): parquet never reads `content`. ----
-    if (!TableIO.done(spark, docStatsDir(dir))) timed("doc_stats") {
-      TableIO.write(docs.select($"doc_id", $"sha256").toDF(), docStatsDir(dir))
-    }
     buildGeneration(spark, dir, 0 until cfg.numBatches, nDocs, cfg, lineage)
 
     if (lineage.nonEmpty) timed("lineage") {
