@@ -71,7 +71,9 @@ object Streaming {
           .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
           .head
         val dst = new org.apache.hadoop.fs.Path(inPath, s"$name.parquet")
-        fs.rename(part, dst)
+        // Hadoop rename reports failure by RETURNING false, not throwing —
+        // fail loudly rather than silently staging a replay with a missing file
+        require(fs.rename(part, dst), s"rename $part -> $dst failed")
         // the file source orders micro-batches by mtime; -1 leaves atime alone
         fs.setTimes(dst, mtime, -1)
       }

@@ -108,9 +108,12 @@ object Main {
       val before = IndexBuild.generations(spark, dir)
       if (rest.headOption.contains("full")) IndexBuild.remerge(spark, dir)
       else IndexBuild.compactTail(spark, dir)
+      // CLI compaction is an offline maintenance op — reclaim immediately
+      val reclaimed = IndexBuild.vacuum(spark, dir)
       val after = IndexBuild.generations(spark, dir)
       println(s"compacted $dir: generations ${before.size} -> ${after.size} " +
-        after.map { case (l, h) => s"gen=${l}_$h" }.mkString("[", " ", "]"))
+        after.map { case (l, h) => s"gen=${l}_$h" }.mkString("[", " ", "]") +
+        s", $reclaimed retired generation(s) reclaimed")
     case "indexjson" :: dir :: dataDir :: rest =>
       // the reference's `vfs-index index --data=<dir>` over JSON files;
       // re-running diffs the directory against the ingest catalog and

@@ -123,7 +123,25 @@ object IndexBuild {
 
   def runsDir(dir: String, batch: Int) = s"$dir/runs/batch=$batch"
   def docStatsDir(dir: String) = s"$dir/doc_stats"
+  /** Per-ingest-unit doc_stats partition ("init" for the initial build,
+    * the batch id for ingested batches): each unit commits independently
+    * (`_SUCCESS`-gated, Overwrite), so a crash between a runs commit and
+    * its doc_stats can never lose fidelity rows on resume — the resumed
+    * call re-runs just the missing unit. Readers read the parent. */
+  def docStatsBatchDir(dir: String, tag: String) = s"$dir/doc_stats/batch=$tag"
   def lineageDir(dir: String) = s"$dir/lineage"
+
+  /** Highest runs batch id present on disk (committed or in-flight), -1 for
+    * none — the slot allocator shared by the batch refresh and streaming
+    * ingest paths so their batch ids never collide. */
+  def maxRunsBatch(spark: SparkSession, dir: String): Int = {
+    val runsPath = new org.apache.hadoop.fs.Path(s"$dir/runs")
+    val fs = runsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(runsPath)) -1
+    else fs.listStatus(runsPath).map(_.getPath.getName)
+      .collect { case n if n.startsWith("batch=") => n.stripPrefix("batch=").toInt }
+      .foldLeft(-1)(math.max)
+  }
   def statsGenDir(dir: String, lo: Int, hi: Int) = s"$dir/stats/gen=${lo}_$hi"
   def dictGenDir(dir: String, lo: Int, hi: Int) = s"$dir/dictionary/gen=${lo}_$hi"
   def segmentsGenDir(dir: String, lo: Int, hi: Int) = s"$dir/segments/gen=${lo}_$hi"
@@ -135,11 +153,13 @@ object IndexBuild {
     * wider completed one is dropped: that is the window during compaction
     * after the combined generation commits and before the folded inputs are
     * deleted — reads stay exact throughout. */
-  def generations(spark: SparkSession, dir: String): Seq[(Int, Int)] = {
+  /** Every fully-committed generation, including RETIRED ones (folded into
+    * a wider committed generation but not yet [[vacuum]]ed). */
+  private def committedGenerations(spark: SparkSession, dir: String): Seq[(Int, Int)] = {
     val parent = new org.apache.hadoop.fs.Path(s"$dir/segments")
     val fs = parent.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(parent)) return Seq.empty
-    val all = fs.listStatus(parent).filter(_.isDirectory).toSeq.flatMap { st =>
+    fs.listStatus(parent).filter(_.isDirectory).toSeq.flatMap { st =>
       st.getPath.getName match {
         case genRe(lo, hi) =>
           val (l, h) = (lo.toInt, hi.toInt)
@@ -149,8 +169,29 @@ object IndexBuild {
         case _ => None
       }
     }
+  }
+
+  def generations(spark: SparkSession, dir: String): Seq[(Int, Int)] = {
+    val all = committedGenerations(spark, dir)
     all.filter(g => !all.exists(o => o != g && o._1 <= g._1 && g._2 <= o._2))
       .sortBy(_._1)
+  }
+
+  /** Delete RETIRED generation directories (those contained in a wider
+    * committed generation). Separated from [[compactTail]]/[[remerge]] —
+    * which only COMMIT the combined generation — so in-flight readers that
+    * planned their scans before the compaction commit keep their files
+    * (the Iceberg/Delta expire-snapshots pattern: compact now, reclaim
+    * later, after a grace period longer than any running query). Returns
+    * the number of generations reclaimed. */
+  def vacuum(spark: SparkSession, dir: String): Int = {
+    val all = committedGenerations(spark, dir)
+    val retired = all.filter(g => all.exists(o => o != g && o._1 <= g._1 && g._2 <= o._2))
+    retired.foreach { case (l, h) =>
+      Seq(segmentsGenDir(dir, l, h), dictGenDir(dir, l, h), statsGenDir(dir, l, h))
+        .foreach(TableIO.rmrf(spark, _))
+    }
+    retired.size
   }
 
   /** All segment rows across generations (explicit leaf dirs — no partition
@@ -220,7 +261,7 @@ object IndexBuild {
     // executors saturated where sequential jobs would leave slots idle
     // between stages) ----
     val pending = (0 until cfg.numBatches).filter(b => !TableIO.done(spark, runsDir(dir, b)))
-    val needDocStats = !TableIO.done(spark, docStatsDir(dir))
+    val needDocStats = !TableIO.done(spark, docStatsBatchDir(dir, "init"))
     if (pending.nonEmpty || needDocStats) {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.max(1, math.min(cfg.ingestParallelism, pending.size + 1)))
@@ -232,7 +273,8 @@ object IndexBuild {
           if (!needDocStats) None
           else Some(pool.submit(new java.util.concurrent.Callable[Unit] {
             def call(): Unit = timed("doc_stats") {
-              TableIO.write(docs.select($"doc_id", $"sha256").toDF(), docStatsDir(dir))
+              TableIO.write(docs.select($"doc_id", $"sha256").toDF(),
+                docStatsBatchDir(dir, "init"))
             }
           }))
         val futures = pending.map { b =>
@@ -368,10 +410,11 @@ object IndexBuild {
                   batchId: Int, cfg: BuildConfig = BuildConfig()): Unit = {
     import spark.implicits._
     val rDir = runsDir(dir, batchId)
+    val dsDir = docStatsBatchDir(dir, batchId.toString)
     val genDone = TableIO.done(spark, segmentsGenDir(dir, batchId, batchId)) &&
       TableIO.done(spark, dictGenDir(dir, batchId, batchId)) &&
       TableIO.done(spark, statsGenDir(dir, batchId, batchId))
-    if (TableIO.done(spark, rDir) && genDone) return
+    if (TableIO.done(spark, rDir) && TableIO.done(spark, dsDir) && genDone) return
     val nNew = newDocs.count()
     val lineage = scala.collection.mutable.ArrayBuffer[LineageRow]()
     if (!TableIO.done(spark, rDir)) {
@@ -380,23 +423,27 @@ object IndexBuild {
       val nPost = spark.read.parquet(rDir).count()
       lineage += LineageRow("runs", "", batchId, "", "", nNew, nPost, 0L,
         System.currentTimeMillis() - t0)
-      TableIO.append(newDocs.select($"doc_id", $"sha256").toDF(), docStatsDir(dir))
     }
+    // independently gated (and Overwrite into the batch's own partition):
+    // a crash between the runs commit and this write is repaired by the
+    // resumed call instead of silently losing the batch's fidelity rows
+    if (!TableIO.done(spark, dsDir))
+      TableIO.write(newDocs.select($"doc_id", $"sha256").toDF(), dsDir)
     // Size the generation's bucket count to ITS data volume: a 1% refresh
     // must not fan into numBuckets near-empty files — every later query
     // scan would pay per-file listing/footer overhead per generation.
     // Compaction re-spreads the folded data across the full bucket count.
     buildGeneration(spark, dir, Seq(batchId), nNew,
-      cfg.copy(numBuckets = ingestBuckets(nNew, cfg)), lineage)
+      cfg.copy(numBuckets = ingestBuckets(nNew, cfg.numBuckets, cfg.shardSize)), lineage)
     if (lineage.nonEmpty)
       TableIO.append(spark.createDataset(lineage.toSeq).toDF(), lineageDir(dir))
   }
 
   /** Bucket count for a freshly-ingested generation: ~one shuffle bucket
-    * per `shardSize` docs, capped at the configured full parallelism. */
-  private[build] def ingestBuckets(nDocs: Long, cfg: BuildConfig): Int =
-    math.max(1, math.min(cfg.numBuckets.toLong,
-      (nDocs + cfg.shardSize - 1) / cfg.shardSize)).toInt
+    * per `shardSize` docs, capped at the configured full parallelism.
+    * Shared by the word and trigram ingest paths. */
+  private[build] def ingestBuckets(nDocs: Long, numBuckets: Int, shardSize: Long): Int =
+    math.max(1, math.min(numBuckets.toLong, (nDocs + shardSize - 1) / shardSize)).toInt
 
   /** Fold the CONTIGUOUS generations `gens` into one covering their union:
     * rebuild the derived tables from exactly those batches' runs (the runs
@@ -421,10 +468,10 @@ object IndexBuild {
       .agg(sum($"n_docs")).as[Long].head()
     val lineage = scala.collection.mutable.ArrayBuffer[LineageRow]()
     buildGeneration(spark, dir, batches, nDocs, cfg, lineage)
-    gens.foreach { case (l, h) =>
-      Seq(segmentsGenDir(dir, l, h), dictGenDir(dir, l, h), statsGenDir(dir, l, h))
-        .foreach(TableIO.rmrf(spark, _))
-    }
+    // the folded inputs are NOT deleted here: once the combined generation
+    // commits, [[generations]] hides them (containment rule) so new readers
+    // never see them, while readers already mid-scan keep their files.
+    // [[vacuum]] reclaims them later, after a grace period.
     if (lineage.nonEmpty)
       TableIO.append(spark.createDataset(lineage.toSeq).toDF(), lineageDir(dir))
   }

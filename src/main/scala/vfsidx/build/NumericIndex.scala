@@ -74,15 +74,24 @@ object NumericIndex {
   }
 
   private val statsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Option[NumStats]]()
+    new java.util.concurrent.ConcurrentHashMap[String, NumStats]()
 
-  /** Persisted build stats; None for an index built before stats existed. */
-  def stats(spark: SparkSession, root: String, column: String): Option[NumStats] =
-    statsCache.computeIfAbsent(statsDir(root, column), { d =>
+  /** Persisted build stats; None while the stats table is absent (e.g. a
+    * build crash-resumed between the data and stats commits). Only PRESENT
+    * stats are cached — an absent table is re-probed on every call, so the
+    * moment the resumed build commits it, the planner sees it. */
+  def stats(spark: SparkSession, root: String, column: String): Option[NumStats] = {
+    val d = statsDir(root, column)
+    Option(statsCache.get(d)).orElse {
       import spark.implicits._
-      if (TableIO.done(spark, d)) Some(spark.read.parquet(d).as[NumStats].head())
-      else None
-    })
+      if (!TableIO.done(spark, d)) None
+      else {
+        val st = spark.read.parquet(d).as[NumStats].head()
+        statsCache.put(d, st)
+        Some(st)
+      }
+    }
+  }
 
   /** Estimated fraction of rows with value in the (index-walk, i.e. widened)
     * bounds, from the quantile sketch: the share of equi-probability cut
@@ -121,7 +130,10 @@ object NumericIndex {
   def range(spark: SparkSession, root: String, column: String,
             lo: Option[Long], hi: Option[Long],
             loInclusive: Boolean = true, hiInclusive: Boolean = false): DataFrame = {
-    val integral = stats(spark, root, column).forall(_.integral)
+    // UNKNOWN integrality (stats table absent — e.g. mid-resume) must widen:
+    // staying strict on a fractional source silently DROPS boundary rows,
+    // while widening only admits candidates the re-applied predicate filters
+    val integral = stats(spark, root, column).exists(_.integral)
     var d = read(spark, root, column)
     lo.foreach(v => d = d.filter(
       if (loInclusive || !integral) col("value") >= v else col("value") > v))

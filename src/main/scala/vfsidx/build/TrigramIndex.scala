@@ -70,11 +70,11 @@ object TrigramIndex {
   /** Completed generations (dict + segments `_SUCCESS`-committed), sorted by
     * first batch; contained ranges dropped (mid-compaction safety) — same
     * contract as [[IndexBuild.generations]]. */
-  def generations(spark: SparkSession, dir: String): Seq[(Int, Int)] = {
+  private def committedGenerations(spark: SparkSession, dir: String): Seq[(Int, Int)] = {
     val parent = new org.apache.hadoop.fs.Path(s"$dir/tri_segments")
     val fs = parent.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(parent)) return Seq.empty
-    val all = fs.listStatus(parent).filter(_.isDirectory).toSeq.flatMap { st =>
+    fs.listStatus(parent).filter(_.isDirectory).toSeq.flatMap { st =>
       st.getPath.getName match {
         case genRe(lo, hi) =>
           val (l, h) = (lo.toInt, hi.toInt)
@@ -83,8 +83,24 @@ object TrigramIndex {
         case _ => None
       }
     }
+  }
+
+  def generations(spark: SparkSession, dir: String): Seq[(Int, Int)] = {
+    val all = committedGenerations(spark, dir)
     all.filter(g => !all.exists(o => o != g && o._1 <= g._1 && g._2 <= o._2))
       .sortBy(_._1)
+  }
+
+  /** Reclaim retired (folded-over) generation dirs — see
+    * [[IndexBuild.vacuum]] for the read-safety rationale. */
+  def vacuum(spark: SparkSession, dir: String): Int = {
+    val all = committedGenerations(spark, dir)
+    val retired = all.filter(g => all.exists(o => o != g && o._1 <= g._1 && g._2 <= o._2))
+    retired.foreach { case (l, h) =>
+      Seq(segmentsGenDir(dir, l, h), dictGenDir(dir, l, h))
+        .foreach(IndexBuild.TableIO.rmrf(spark, _))
+    }
+    retired.size
   }
 
   def readSegments(spark: SparkSession, dir: String): DataFrame = {
@@ -146,15 +162,16 @@ object TrigramIndex {
                   strCol: String, dir: String, batchId: Int,
                   cfg: TriConfig = TriConfig()): Unit = {
     val bDir = runsBatchDir(dir, batchId)
+    val genDone = TableIO.done(spark, segmentsGenDir(dir, batchId, batchId)) &&
+      TableIO.done(spark, dictGenDir(dir, batchId, batchId))
+    if (TableIO.done(spark, bDir) && genDone) return
     if (!TableIO.done(spark, bDir))
       TableIO.write(tokenizeRuns(newDocs, idCol, strCol), bDir)
-    // bucket count sized to the batch (see IndexBuild.ingestBuckets): a
-    // small refresh generation must not fan into numBuckets near-empty
-    // files that every query scan then has to list and open
+    // bucket count sized to the batch: a small refresh generation must not
+    // fan into numBuckets near-empty files that every query then opens
     val nNew = newDocs.count()
-    val buckets = math.max(1L, math.min(cfg.numBuckets.toLong,
-      (nNew + cfg.shardSize - 1) / cfg.shardSize)).toInt
-    buildGeneration(spark, dir, Seq(batchId), cfg.copy(numBuckets = buckets))
+    buildGeneration(spark, dir, Seq(batchId), cfg.copy(
+      numBuckets = IndexBuild.ingestBuckets(nNew, cfg.numBuckets, cfg.shardSize)))
   }
 
   /** Fold contiguous generations into one covering their union by
@@ -168,10 +185,8 @@ object TrigramIndex {
     // range may contain skipped slots (see IndexBuild.fold for the
     // monotone-slot safety argument)
     buildGeneration(spark, dir, gens.flatMap { case (l, h) => l to h }, cfg)
-    gens.foreach { case (l, h) =>
-      Seq(segmentsGenDir(dir, l, h), dictGenDir(dir, l, h))
-        .foreach(IndexBuild.TableIO.rmrf(spark, _))
-    }
+    // inputs retired, not deleted — [[vacuum]] reclaims them after a grace
+    // period so in-flight readers keep their files (see IndexBuild.fold)
   }
 
   /** Bounded compaction: fold every generation except the base (see
@@ -334,7 +349,7 @@ object TrigramIndex {
     * can never be in the corpus index, yet `String.contains` (char-level)
     * CAN match it — the one input class where trigram-AND is not a superset
     * of containment. */
-  private def wellFormedUtf16(s: String): Boolean = {
+  private[vfsidx] def wellFormedUtf16(s: String): Boolean = {
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)

@@ -92,12 +92,16 @@ object Ingest {
     * /root/reference/indexer.go:77-93).
     *
     * Mechanics: the file source tracks processed files in the checkpoint, so
-    * restarts ingest only NEW files; `foreachBatch` is keyed to a stable
-    * runs-batch slot (`batchBase + epochId`), and [[vfsidx.build.IndexBuild.ingestBatch]]
-    * is idempotent per slot (`_SUCCESS`-gated) — a redelivered epoch after a
-    * crash lands in its original slot and is skipped. doc_ids continue
-    * densely from the persisted corpus size. Auto-compaction bounds the
-    * generation count exactly as in the batch refresh path.
+    * restarts ingest only NEW files; each epoch is durably mapped to a
+    * runs-batch slot (a per-epoch file under the checkpoint, committed
+    * BEFORE ingesting), and [[vfsidx.build.IndexBuild.ingestBatch]] is
+    * idempotent per slot (`_SUCCESS`-gated) — a redelivered epoch after a
+    * crash re-reads its original slot and is skipped, never re-ingested as
+    * duplicates. doc_ids continue densely from the persisted corpus size.
+    * Auto-compaction bounds the generation count exactly as in the batch
+    * refresh path; batch `indexjson` refreshes may alternate with stream
+    * runs (slots are allocated off the shared runs listing) but must not
+    * run CONCURRENTLY with an active stream.
     *
     * Runs with `Trigger.AvailableNow` for a bounded replay (tests/backfill);
     * drop the trigger for an unbounded production stream. */
@@ -108,15 +112,36 @@ object Ingest {
                  maxFilesPerTrigger: Int = 1): Unit = {
     import vfsidx.build.IndexBuild
     val schema = spark.read.option("multiLine", "false").json(dataDir).schema
-    // stable slot base: past the highest existing runs batch (a batch
-    // refresh may have run before the stream started)
-    val runsPath = new org.apache.hadoop.fs.Path(s"$indexDir/runs")
-    val fs = runsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val batchBase =
-      if (!fs.exists(runsPath)) 0
-      else fs.listStatus(runsPath).map(_.getPath.getName)
-        .collect { case n if n.startsWith("batch=") => n.stripPrefix("batch=").toInt }
-        .foldLeft(-1)(math.max) + 1
+    // reclaim generations retired by earlier auto-compactions: by the next
+    // stream start, any reader that planned against them is long gone
+    IndexBuild.vacuum(spark, indexDir)
+    // Durable epoch -> runs-slot map (one tiny file per epoch under the
+    // checkpoint, written via temp+rename BEFORE ingesting): a REPLAYED
+    // epoch — crash after foreachBatch, before the offset-log commit —
+    // re-reads its original slot and the `_SUCCESS` gates skip the work,
+    // instead of re-ingesting the same files into a fresh slot as duplicate
+    // docs. A NEW epoch allocates max(existing runs batch)+1, so slots stay
+    // monotone even if a batch `indexjson` refresh ran between stream runs.
+    // (Do NOT run a batch refresh CONCURRENTLY with an active stream on the
+    // same index — slot allocation is first-committed-wins, not locked.)
+    val hfs = new org.apache.hadoop.fs.Path(checkpointDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def slotFor(epochId: Long): Int = {
+      val slotsDir = new org.apache.hadoop.fs.Path(checkpointDir, "graft_slots")
+      val f = new org.apache.hadoop.fs.Path(slotsDir, s"epoch-$epochId")
+      if (hfs.exists(f)) {
+        val in = hfs.open(f)
+        try new String(in.readAllBytes(), "UTF-8").trim.toInt finally in.close()
+      } else {
+        val slot = IndexBuild.maxRunsBatch(spark, indexDir) + 1
+        hfs.mkdirs(slotsDir)
+        val tmp = new org.apache.hadoop.fs.Path(slotsDir, s".epoch-$epochId.tmp")
+        val out = hfs.create(tmp, true)
+        try out.write(slot.toString.getBytes("UTF-8")) finally out.close()
+        require(hfs.rename(tmp, f), s"rename $tmp -> $f failed")
+        slot
+      }
+    }
     val stream = spark.readStream.schema(schema)
       .option("multiLine", "false")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -125,16 +150,17 @@ object Ingest {
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (df: DataFrame, epochId: Long) =>
-        val slot = batchBase + epochId.toInt
-        // an empty epoch skips its slot — safe: slot allocation stays
+        // an empty epoch allocates no slot — safe: slot allocation stays
         // monotone and compaction reads only existing batches
         if (df.isEmpty) ()
         else {
+        val slot = slotFor(epochId)
         // ids continue after the persisted corpus (docStats footer count —
-        // metadata only); idempotent redelivery never reaches this count
-        // because the slot's _SUCCESS short-circuits inside ingestBatch,
-        // but a REPLAYED epoch before its runs committed re-derives the
-        // same base (docStats is appended inside the same gate).
+        // metadata only). Replay-safe because ingestBatch commits runs
+        // BEFORE the batch's doc_stats partition: a replayed epoch whose
+        // runs did not commit re-derives the SAME base (its doc_stats
+        // cannot have committed either), and one whose runs committed is
+        // skipped by the _SUCCESS gates before ids matter.
         val statsPath = new org.apache.hadoop.fs.Path(IndexBuild.docStatsDir(indexDir))
         val base =
           if (statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(statsPath))
@@ -175,6 +201,9 @@ object Ingest {
     val catPath = new org.apache.hadoop.fs.Path(catalogDir(indexDir))
     val catFs = catPath.getFileSystem(hconf)
     val catEmpty = !catFs.exists(catPath)
+    // reclaim generations retired by the PREVIOUS refresh's compaction —
+    // one full refresh cycle is the grace period for in-flight readers
+    if (!catEmpty) IndexBuild.vacuum(spark, indexDir)
     // Diff listed files against the catalog as an ANTI-JOIN, never
     // collecting the catalog to the driver (at 10^7 ingested files the
     // catalog is a table, not a driver object). Only the NEW paths — the
@@ -189,10 +218,15 @@ object Ingest {
           .as[String].collect().toSeq.sorted
         // n_docs is the BATCH total, repeated on each of the batch's file
         // rows -> distinct per batch before summing
-        val (maxBatch, base) = cat.select($"batch_id", $"n_docs").distinct()
-          .agg(max($"batch_id"), coalesce(sum($"n_docs"), lit(0L)))
-          .as[(Int, Long)].head()
-        (fresh, maxBatch + 1, base)
+        val maxBatch = cat.agg(max($"batch_id")).as[Int].head()
+        // doc_id base and batch slot come from the INDEX, not the catalog:
+        // a streaming ingest (streamJson) occupies runs slots and doc_ids
+        // the catalog never sees — deriving either from catalog sums would
+        // collide with them (slot collision = new files silently recorded
+        // as indexed without ever being tokenized)
+        val slot = math.max(maxBatch + 1, IndexBuild.maxRunsBatch(spark, indexDir) + 1)
+        val base = spark.read.parquet(IndexBuild.docStatsDir(indexDir)).count()
+        (fresh, slot, base)
       }
     if (newFiles.isEmpty) return (0, 0L)
     // Guard against a catalog/index mismatch: an empty catalog means THIS is

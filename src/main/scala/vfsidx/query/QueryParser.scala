@@ -152,12 +152,18 @@ object QueryParser {
     // string equality shares the reference's containment semantics
     // (search_cond.go:728-791), so it consults the same trigram index;
     // the re-applied predicate keeps it exact either way
+    // malformed-UTF-16 needles (a sliced surrogate pair) must NOT consult
+    // the index: their lone-surrogate trigram keys can never exist in the
+    // corpus index, yet char-level `contains` CAN match — the scan
+    // predicate alone keeps queryIndexed row-identical to query() (same
+    // rule as TrigramIndex.searchExact's full-scan bypass)
+    def indexable(c: String, s: String): Boolean =
+      TrigramIndex.exists(spark, triDir(indexRoot, c)) &&
+        Tokenizer.triKeys(s).nonEmpty && TrigramIndex.wellFormedUtf16(s)
     val searchSets: Seq[DataFrame] = exprs.flatMap {
-      case Search(c, s) if TrigramIndex.exists(spark, triDir(indexRoot, c)) &&
-          Tokenizer.triKeys(s).nonEmpty =>
+      case Search(c, s) if indexable(c, s) =>
         Some(TrigramIndex.searchCandidates(spark, triDir(indexRoot, c), s))
-      case Cmp(c, "==", Right(s)) if TrigramIndex.exists(spark, triDir(indexRoot, c)) &&
-          Tokenizer.triKeys(s).nonEmpty =>
+      case Cmp(c, "==", Right(s)) if indexable(c, s) =>
         Some(TrigramIndex.searchCandidates(spark, triDir(indexRoot, c), s))
       case _ => None
     }

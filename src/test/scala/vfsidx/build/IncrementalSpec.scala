@@ -168,10 +168,48 @@ class IncrementalSpec extends SparkTestBase {
     val ids = spark.read.parquet(IndexBuild.docStatsDir(idx))
       .select($"doc_id").as[Long].collect().sorted.toSeq
     assert(ids == (0L until 5L))
-    // a full compaction over streamed generations is still exact
+    // a full compaction over streamed generations is still exact, and the
+    // folded inputs survive on disk (readers keep their files) until vacuum
     IndexBuild.remerge(spark, idx, cfg)
     assert(IndexBuild.generations(spark, idx).size == 1)
     assert(new Bm25Index(spark, idx).topKOr("streamed", 10).count() == 5)
+    assert(IndexBuild.vacuum(spark, idx) >= 2)
+    assert(IndexBuild.vacuum(spark, idx) == 0)   // idempotent
+    assert(new Bm25Index(spark, idx).topKOr("streamed", 10).count() == 5)
+  }
+
+  test("batch refresh AFTER a streaming run allocates non-colliding slots and doc_ids") {
+    // two feeds (a batch-refreshed dir, a streamed dir) into ONE index —
+    // each flow tracks ITS OWN directory (catalog vs checkpoint); the
+    // index-side slot and doc_id allocation must never collide
+    val dataA = tmpDir("mix_data_a")
+    val dataB = tmpDir("mix_data_b")
+    val idx = tmpDir("mix_idx")
+    val ckpt = tmpDir("mix_ckpt")
+    def writeFile(dir: String, name: String, words: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/$name"),
+        words.map(w => s"""{"content": "$w mixed corpus"}""").mkString("\n").getBytes("UTF-8"))
+    // refresh initiates the index (catalog batch 0, slot 0) ...
+    writeFile(dataA, "a.json", Seq("mxa"))
+    assert(Ingest.refreshJson(spark, idx, dataA, "content", cfg) == ((1, 1L)))
+    // ... a stream ingests its own feed into the next slot (catalog unaware) ...
+    writeFile(dataB, "b.json", Seq("mxb", "mxc"))
+    Ingest.streamJson(spark, idx, dataB, "content", ckpt, cfg.copy(numBatches = 1))
+    val slotsAfterStream = IndexBuild.maxRunsBatch(spark, idx)
+    assert(slotsAfterStream == 1)
+    // ... and a later batch refresh must skip PAST the stream's slot
+    // instead of colliding with it (a collision would silently record the
+    // new files as indexed without ever tokenizing them)
+    writeFile(dataA, "c.json", Seq("mxd"))
+    assert(Ingest.refreshJson(spark, idx, dataA, "content", cfg) == ((1, 1L)))
+    assert(IndexBuild.maxRunsBatch(spark, idx) == 2)
+    val bm = new Bm25Index(spark, idx)
+    for (t <- Seq("mxa", "mxb", "mxc", "mxd"))
+      assert(bm.topKOr(t, 5).count() == 1, s"term $t")
+    // doc_ids stayed dense across the mixed flows
+    val ids = spark.read.parquet(IndexBuild.docStatsDir(idx))
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == (0L until 4L))
   }
 
   test("refresh into a pre-catalog index dir fails fast (no silent data loss)") {

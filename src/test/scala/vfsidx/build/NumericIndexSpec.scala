@@ -68,6 +68,27 @@ class NumericIndexSpec extends SparkTestBase {
     assert(strict == intDf.filter($"y" > 5).count())
   }
 
+  test("ABSENT stats (crash-resumed build) widen the walk — never silently strict") {
+    // simulate data committed but stats not yet: results must still be a
+    // SUPERSET on a fractional column (queryIndexed's recheck restores
+    // exactness); strict-by-default would silently drop boundary rows
+    val d = tmpDir("numidx_nostats")
+    NumericIndex.build(spark, df, "doc_id", "x", d)
+    val statsPath = new java.io.File(NumericIndex.statsDir(d, "x"))
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf); f.delete()
+    }
+    rmrf(statsPath)
+    assert(NumericIndex.stats(spark, d, "x").isEmpty)
+    val got = NumericIndex.range(spark, d, "x", Some(44L), None,
+      loInclusive = false).select($"doc_id").as[Long].collect().toSet
+    val mustInclude = df.filter($"x" > 44).select($"doc_id").as[Long].collect().toSet
+    assert(mustInclude.subsetOf(got), s"missing: ${mustInclude -- got}")
+    // and once stats appear (resumed build), they are picked up (None not cached)
+    NumericIndex.build(spark, df, "doc_id", "x", d)
+    assert(NumericIndex.stats(spark, d, "x").nonEmpty)
+  }
+
   test("selectivity estimate from the sketch gates index vs scan sensibly") {
     val st = NumericIndex.stats(spark, root, "x").get
     // the dense run covers [0, 49]: a full-range predicate estimates ~1,
