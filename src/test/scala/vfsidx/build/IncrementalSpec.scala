@@ -58,6 +58,40 @@ class IncrementalSpec extends SparkTestBase {
     assert(fingerprint(dInc) == fingerprint(dFresh))
   }
 
+  test("ADVERSARIAL avgdl drift: short-doc base + long-doc generation stays rank-exact under pruning") {
+    // generation A's block_max_norm bounds were computed with a SMALL
+    // avgdl; after ingesting much longer docs the global avgdl grows, and
+    // an uncorrected bound would under-estimate (norm rises with avgdl) —
+    // exactly the case the max(1, avgdl_glob/avgdl_gen) factor covers.
+    // Rank-identity against the naive scorer and the brute-force oracle
+    // over the union pins it, at several k (small k = aggressive pruning).
+    import vfsidx.corpus.SourceFile
+    val rng = new scala.util.Random(77)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "merge", "index",
+      "query", "scan", "drift", "bound")
+    def doc(id: Long, len: Int): SourceFile = {
+      val text = Seq.fill(len)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+      SourceFile(id, "drift", s"d/$id", "", "", text, Synth.sha256Hex(text))
+    }
+    val short = (0L until 300L).map(doc(_, 4 + rng.nextInt(4)))     // dl ~ 5
+    val long = (300L until 500L).map(doc(_, 40 + rng.nextInt(30)))  // dl ~ 55
+    val base = spark.createDataset(short).cache()
+    val extra = spark.createDataset(long).cache()
+    val union = spark.createDataset(short ++ long).cache()
+    val d = tmpDir("drift")
+    IndexBuild.build(spark, base, d, cfg)
+    IndexBuild.ingestBatch(spark, extra, d, batchId = cfg.numBatches, cfg)
+    val idx = new Bm25Index(spark, d)
+    for (q <- Seq("merge index", "alpha beta gamma", "drift bound query scan", "merge");
+         k <- Seq(3, 10)) {
+      val pruned = idx.topKOr(q, k).as[(Long, Double)].collect().toSeq
+      val naive = idx.topKOrNaive(q, k).as[(Long, Double)].collect().toSeq
+      val want = Oracle.topKOr(spark, union, q, k).as[(Long, Double)].collect().toSeq
+      assert(pruned == naive, s"pruned != naive: '$q' k=$k")
+      assert(naive == want, s"naive != oracle: '$q' k=$k")
+    }
+  }
+
   test("ingestBatch is idempotent (re-run skipped via _SUCCESS)") {
     val docs = Synth.corpus(spark, 100, partitions = 2).cache()
     val d = tmpDir("inc_b")
