@@ -106,14 +106,14 @@ object Main {
       // merge trigger; `full` folds everything, default folds the tail —
       // bounded work like the reference's mergeDuration deadline)
       val before = IndexBuild.generations(spark, dir)
+      // CLI compaction is an offline maintenance op — the default
+      // reclaim=true vacuums retired inputs immediately; it also sweeps
+      // any retirees a deferred-reclaim policy run left behind
       if (rest.headOption.contains("full")) IndexBuild.remerge(spark, dir)
-      else IndexBuild.compactTail(spark, dir)
-      // CLI compaction is an offline maintenance op — reclaim immediately
-      val reclaimed = IndexBuild.vacuum(spark, dir)
+      else { IndexBuild.compactTail(spark, dir); IndexBuild.vacuum(spark, dir) }
       val after = IndexBuild.generations(spark, dir)
       println(s"compacted $dir: generations ${before.size} -> ${after.size} " +
-        after.map { case (l, h) => s"gen=${l}_$h" }.mkString("[", " ", "]") +
-        s", $reclaimed retired generation(s) reclaimed")
+        after.map { case (l, h) => s"gen=${l}_$h" }.mkString("[", " ", "]"))
     case "indexjson" :: dir :: dataDir :: rest =>
       // the reference's `vfs-index index --data=<dir>` over JSON files;
       // re-running diffs the directory against the ingest catalog and
@@ -121,7 +121,7 @@ object Main {
       val contentField = rest.headOption.getOrElse("content")
       val t0 = System.nanoTime()
       val (nFiles, nNew) = vfsidx.corpus.Ingest.refreshJson(spark, dir, dataDir, contentField)
-      val n = spark.read.parquet(vfsidx.build.IndexBuild.docStatsDir(dir)).count()
+      val n = vfsidx.build.IndexBuild.docCount(spark, dir)
       val gens = IndexBuild.generations(spark, dir).size
       println(f"refreshed: $nFiles new files / $nNew new docs from $dataDir in ${(System.nanoTime() - t0) / 1e9}%.1f s; index now covers $n docs in $gens generation(s) -> $dir")
     case "query" :: table :: exprParts if exprParts.nonEmpty =>

@@ -148,51 +148,84 @@ object IndexBuild {
 
   private val genRe = """gen=(\d+)_(\d+)""".r
 
-  /** Completed generations (all three derived tables `_SUCCESS`-committed),
-    * sorted by first batch. A generation whose batch range is CONTAINED in a
-    * wider completed one is dropped: that is the window during compaction
-    * after the combined generation commits and before the folded inputs are
-    * deleted — reads stay exact throughout. */
-  /** Every fully-committed generation, including RETIRED ones (folded into
-    * a wider committed generation but not yet [[vacuum]]ed). */
-  private def committedGenerations(spark: SparkSession, dir: String): Seq[(Int, Int)] = {
-    val parent = new org.apache.hadoop.fs.Path(s"$dir/segments")
-    val fs = parent.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(parent)) return Seq.empty
-    fs.listStatus(parent).filter(_.isDirectory).toSeq.flatMap { st =>
-      st.getPath.getName match {
-        case genRe(lo, hi) =>
-          val (l, h) = (lo.toInt, hi.toInt)
-          if (TableIO.done(spark, segmentsGenDir(dir, l, h)) &&
-              TableIO.done(spark, dictGenDir(dir, l, h)) &&
-              TableIO.done(spark, statsGenDir(dir, l, h))) Some((l, h)) else None
-        case _ => None
+  /** Generation-listing machinery shared by the word and trigram indexes
+    * (one place owns the gen= naming, the `_SUCCESS` gating and the
+    * containment rule). `tables(l, h)` yields every table dir a generation
+    * must have committed. */
+  private[build] object GenListing {
+    /** Every fully-committed generation under `parent`, including RETIRED
+      * ones (folded into a wider committed generation, not yet vacuumed). */
+    def committed(spark: SparkSession, parent: String,
+                  tables: (Int, Int) => Seq[String]): Seq[(Int, Int)] = {
+      val p = new org.apache.hadoop.fs.Path(parent)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) return Seq.empty
+      fs.listStatus(p).filter(_.isDirectory).toSeq.flatMap { st =>
+        st.getPath.getName match {
+          case genRe(lo, hi) =>
+            val (l, h) = (lo.toInt, hi.toInt)
+            if (tables(l, h).forall(TableIO.done(spark, _))) Some((l, h)) else None
+          case _ => None
+        }
       }
     }
+    def isRetired(all: Seq[(Int, Int)], g: (Int, Int)): Boolean =
+      all.exists(o => o != g && o._1 <= g._1 && g._2 <= o._2)
+    /** Containment-filtered view: the generations queries should read. A
+      * RETIRED generation (contained in a wider committed one) is hidden —
+      * that is the whole window between a compaction commit and its
+      * vacuum, so reads stay exact throughout. */
+    def survivors(all: Seq[(Int, Int)]): Seq[(Int, Int)] =
+      all.filterNot(isRetired(all, _)).sortBy(_._1)
+    /** Delete retired generations' dirs; returns how many were reclaimed. */
+    def reclaim(spark: SparkSession, all: Seq[(Int, Int)],
+                tables: (Int, Int) => Seq[String]): Int = {
+      val retired = all.filter(isRetired(all, _))
+      retired.foreach { case (l, h) => tables(l, h).foreach(TableIO.rmrf(spark, _)) }
+      retired.size
+    }
   }
 
-  def generations(spark: SparkSession, dir: String): Seq[(Int, Int)] = {
-    val all = committedGenerations(spark, dir)
-    all.filter(g => !all.exists(o => o != g && o._1 <= g._1 && g._2 <= o._2))
-      .sortBy(_._1)
-  }
+  private def genTables(dir: String)(l: Int, h: Int): Seq[String] =
+    Seq(segmentsGenDir(dir, l, h), dictGenDir(dir, l, h), statsGenDir(dir, l, h))
+
+  def generations(spark: SparkSession, dir: String): Seq[(Int, Int)] =
+    GenListing.survivors(
+      GenListing.committed(spark, s"$dir/segments", genTables(dir)))
 
   /** Delete RETIRED generation directories (those contained in a wider
-    * committed generation). Separated from [[compactTail]]/[[remerge]] —
-    * which only COMMIT the combined generation — so in-flight readers that
-    * planned their scans before the compaction commit keep their files
-    * (the Iceberg/Delta expire-snapshots pattern: compact now, reclaim
-    * later, after a grace period longer than any running query). Returns
-    * the number of generations reclaimed. */
-  def vacuum(spark: SparkSession, dir: String): Int = {
-    val all = committedGenerations(spark, dir)
-    val retired = all.filter(g => all.exists(o => o != g && o._1 <= g._1 && g._2 <= o._2))
-    retired.foreach { case (l, h) =>
-      Seq(segmentsGenDir(dir, l, h), dictGenDir(dir, l, h), statsGenDir(dir, l, h))
-        .foreach(TableIO.rmrf(spark, _))
-    }
-    retired.size
+    * committed generation) — the Iceberg/Delta expire-snapshots pattern:
+    * compaction only COMMITS the combined generation; reclaiming happens
+    * later, after a grace period longer than any running query, so
+    * in-flight readers that planned their scans before the compaction
+    * commit keep their files. Returns the number reclaimed. */
+  def vacuum(spark: SparkSession, dir: String): Int =
+    GenListing.reclaim(spark,
+      GenListing.committed(spark, s"$dir/segments", genTables(dir)), genTables(dir))
+
+  /** Doc-fidelity rows from COMMITTED doc_stats partitions only. A crash
+    * mid-commit can leave task files visible before `_SUCCESS` lands —
+    * counting those would shift the dense doc_id base derived from this
+    * table, so engine code must go through here, never a bare parent read. */
+  def readDocStats(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val parent = new org.apache.hadoop.fs.Path(docStatsDir(dir))
+    val fs = parent.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(parent)) return None
+    val children = fs.listStatus(parent).toSeq
+    require(!children.exists(st => st.isFile && !st.getPath.getName.startsWith("_")),
+      s"${docStatsDir(dir)} holds files at its root - an index written by a " +
+        "pre-generation layout; rebuild the index (mixed layouts cannot be read)")
+    val committed = children
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(_.getPath.toString)
+      .filter(TableIO.done(spark, _))
+    if (committed.isEmpty) None
+    else Some(spark.read.parquet(committed: _*))
   }
+
+  /** Committed corpus size (0 for none) - the dense doc_id base. */
+  def docCount(spark: SparkSession, dir: String): Long =
+    readDocStats(spark, dir).map(_.count()).getOrElse(0L)
 
   /** All segment rows across generations (explicit leaf dirs — no partition
     * column is inferred, so the frame stays encodable as [[SegmentRow]]). */
@@ -483,19 +516,30 @@ object IndexBuild {
     * This is the reference's accumulated-write-file merge with a work bound
     * standing in for its `mergeDuration` deadline
     * (/root/reference/config.go:62-66). */
-  def compactTail(spark: SparkSession, dir: String, cfg: BuildConfig = BuildConfig()): Boolean = {
+  def compactTail(spark: SparkSession, dir: String, cfg: BuildConfig = BuildConfig(),
+                  reclaim: Boolean = true): Boolean = {
     val gens = generations(spark, dir)
     if (gens.size < 3) false
-    else { fold(spark, dir, gens.drop(1), cfg); true }
+    else {
+      fold(spark, dir, gens.drop(1), cfg)
+      // reclaim=false is for callers serving CONCURRENT readers (the
+      // refresh/stream policies), which vacuum on their own later schedule
+      if (reclaim) vacuum(spark, dir)
+      true
+    }
   }
 
   /** Full compaction: fold ALL generations into one (reference M4/M8 —
     * merge everything accumulated). No-op when a single generation already
     * covers every batch. */
-  def remerge(spark: SparkSession, dir: String, cfg: BuildConfig = BuildConfig()): Unit = {
+  def remerge(spark: SparkSession, dir: String, cfg: BuildConfig = BuildConfig(),
+              reclaim: Boolean = true): Unit = {
     val gens = generations(spark, dir)
     require(gens.nonEmpty, s"no generations under $dir")
-    if (gens.size >= 2) fold(spark, dir, gens, cfg)
+    if (gens.size >= 2) {
+      fold(spark, dir, gens, cfg)
+      if (reclaim) vacuum(spark, dir)
+    }
   }
 
   /** Group a term+shard+doc_id-sorted partition stream into encoded segment

@@ -65,43 +65,21 @@ object TrigramIndex {
       shardSize: Long = 4096,
       maxGenerations: Int = 4)
 
-  private val genRe = """gen=(\d+)_(\d+)""".r
+  private def genTables(dir: String)(l: Int, h: Int): Seq[String] =
+    Seq(segmentsGenDir(dir, l, h), dictGenDir(dir, l, h))
 
-  /** Completed generations (dict + segments `_SUCCESS`-committed), sorted by
-    * first batch; contained ranges dropped (mid-compaction safety) — same
-    * contract as [[IndexBuild.generations]]. */
-  private def committedGenerations(spark: SparkSession, dir: String): Seq[(Int, Int)] = {
-    val parent = new org.apache.hadoop.fs.Path(s"$dir/tri_segments")
-    val fs = parent.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(parent)) return Seq.empty
-    fs.listStatus(parent).filter(_.isDirectory).toSeq.flatMap { st =>
-      st.getPath.getName match {
-        case genRe(lo, hi) =>
-          val (l, h) = (lo.toInt, hi.toInt)
-          if (TableIO.done(spark, segmentsGenDir(dir, l, h)) &&
-              TableIO.done(spark, dictGenDir(dir, l, h))) Some((l, h)) else None
-        case _ => None
-      }
-    }
-  }
+  /** Same contract as [[IndexBuild.generations]] (shared listing /
+    * containment machinery: [[IndexBuild.GenListing]]). */
+  def generations(spark: SparkSession, dir: String): Seq[(Int, Int)] =
+    IndexBuild.GenListing.survivors(
+      IndexBuild.GenListing.committed(spark, s"$dir/tri_segments", genTables(dir)))
 
-  def generations(spark: SparkSession, dir: String): Seq[(Int, Int)] = {
-    val all = committedGenerations(spark, dir)
-    all.filter(g => !all.exists(o => o != g && o._1 <= g._1 && g._2 <= o._2))
-      .sortBy(_._1)
-  }
-
-  /** Reclaim retired (folded-over) generation dirs — see
+  /** Reclaim retired (folded-over) generation dirs - see
     * [[IndexBuild.vacuum]] for the read-safety rationale. */
-  def vacuum(spark: SparkSession, dir: String): Int = {
-    val all = committedGenerations(spark, dir)
-    val retired = all.filter(g => all.exists(o => o != g && o._1 <= g._1 && g._2 <= o._2))
-    retired.foreach { case (l, h) =>
-      Seq(segmentsGenDir(dir, l, h), dictGenDir(dir, l, h))
-        .foreach(IndexBuild.TableIO.rmrf(spark, _))
-    }
-    retired.size
-  }
+  def vacuum(spark: SparkSession, dir: String): Int =
+    IndexBuild.GenListing.reclaim(spark,
+      IndexBuild.GenListing.committed(spark, s"$dir/tri_segments", genTables(dir)),
+      genTables(dir))
 
   def readSegments(spark: SparkSession, dir: String): DataFrame = {
     val gens = generations(spark, dir)
@@ -190,18 +168,28 @@ object TrigramIndex {
   }
 
   /** Bounded compaction: fold every generation except the base (see
-    * [[IndexBuild.compactTail]]). */
-  def compactTail(spark: SparkSession, dir: String, cfg: TriConfig = TriConfig()): Boolean = {
+    * [[IndexBuild.compactTail]]; pass reclaim=false when concurrent readers
+    * may be mid-scan and vacuum later). */
+  def compactTail(spark: SparkSession, dir: String, cfg: TriConfig = TriConfig(),
+                  reclaim: Boolean = true): Boolean = {
     val gens = generations(spark, dir)
     if (gens.size < 3) false
-    else { fold(spark, dir, gens.drop(1), cfg); true }
+    else {
+      fold(spark, dir, gens.drop(1), cfg)
+      if (reclaim) vacuum(spark, dir)
+      true
+    }
   }
 
   /** Full compaction: fold ALL generations into one (reference M4/M8). */
-  def remerge(spark: SparkSession, dir: String, cfg: TriConfig = TriConfig()): Unit = {
+  def remerge(spark: SparkSession, dir: String, cfg: TriConfig = TriConfig(),
+              reclaim: Boolean = true): Unit = {
     val gens = generations(spark, dir)
     require(gens.nonEmpty, s"no trigram generations under $dir")
-    if (gens.size >= 2) fold(spark, dir, gens, cfg)
+    if (gens.size >= 2) {
+      fold(spark, dir, gens, cfg)
+      if (reclaim) vacuum(spark, dir)
+    }
   }
 
   /** Dict + segments for the given runs `batches` under `gen=<min>_<max>`;

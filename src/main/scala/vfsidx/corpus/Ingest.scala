@@ -134,6 +134,16 @@ object Ingest {
         try new String(in.readAllBytes(), "UTF-8").trim.toInt finally in.close()
       } else {
         val slot = IndexBuild.maxRunsBatch(spark, indexDir) + 1
+        // RESERVE the slot in the index itself (create the runs batch dir)
+        // before recording it in the checkpoint: maxRunsBatch-based
+        // allocators (a later batch refresh, another stream start) then see
+        // it and skip past, even if this epoch crashes before writing any
+        // data — otherwise a refresh could claim the slot and the replayed
+        // epoch would be _SUCCESS-skipped over the refresh's data, silently
+        // dropping this epoch's files.
+        val resFs = new org.apache.hadoop.fs.Path(IndexBuild.runsDir(indexDir, slot))
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        resFs.mkdirs(new org.apache.hadoop.fs.Path(IndexBuild.runsDir(indexDir, slot)))
         hfs.mkdirs(slotsDir)
         val tmp = new org.apache.hadoop.fs.Path(slotsDir, s".epoch-$epochId.tmp")
         val out = hfs.create(tmp, true)
@@ -154,24 +164,24 @@ object Ingest {
         // monotone and compaction reads only existing batches
         if (df.isEmpty) ()
         else {
+        // reclaim generations retired by PREVIOUS epochs' compactions —
+        // one epoch is the in-stream grace period, so an unbounded stream
+        // never accumulates retired dirs
+        IndexBuild.vacuum(spark, indexDir)
         val slot = slotFor(epochId)
-        // ids continue after the persisted corpus (docStats footer count —
-        // metadata only). Replay-safe because ingestBatch commits runs
-        // BEFORE the batch's doc_stats partition: a replayed epoch whose
-        // runs did not commit re-derives the SAME base (its doc_stats
-        // cannot have committed either), and one whose runs committed is
-        // skipped by the _SUCCESS gates before ids matter.
-        val statsPath = new org.apache.hadoop.fs.Path(IndexBuild.docStatsDir(indexDir))
-        val base =
-          if (statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(statsPath))
-            spark.read.parquet(IndexBuild.docStatsDir(indexDir)).count()
-          else 0L
+        // ids continue after the persisted corpus. docCount reads only
+        // COMMITTED doc_stats partitions, and ingestBatch commits runs
+        // BEFORE the batch's doc_stats: a replayed epoch whose runs did
+        // not commit re-derives the SAME base (its doc_stats cannot have
+        // committed either), and one whose runs committed is skipped by
+        // the _SUCCESS gates before ids matter.
+        val base = IndexBuild.docCount(spark, indexDir)
         val corpus = toCorpus(df, contentCol,
           repo = s"stream/batch=$slot", idOffset = base).cache()
         try {
           IndexBuild.ingestBatch(spark, corpus, indexDir, slot, cfg)
           if (IndexBuild.generations(spark, indexDir).size > cfg.maxGenerations)
-            IndexBuild.compactTail(spark, indexDir, cfg)
+            IndexBuild.compactTail(spark, indexDir, cfg, reclaim = false)
           ()
         } finally corpus.unpersist()
         }
@@ -200,70 +210,118 @@ object Ingest {
       .sorted
     val catPath = new org.apache.hadoop.fs.Path(catalogDir(indexDir))
     val catFs = catPath.getFileSystem(hconf)
-    val catEmpty = !catFs.exists(catPath)
-    // reclaim generations retired by the PREVIOUS refresh's compaction —
+    // reclaim generations retired by the PREVIOUS refresh's compaction -
     // one full refresh cycle is the grace period for in-flight readers
-    if (!catEmpty) IndexBuild.vacuum(spark, indexDir)
+    if (catFs.exists(catPath)) IndexBuild.vacuum(spark, indexDir)
+
+    // ---- refresh intent WAL ------------------------------------------
+    // (slot, doc base, file list) is persisted BEFORE ingesting, cleared
+    // after the catalog append: a crash anywhere between leaves an intent
+    // whose recovery below re-derives the SAME slot and base, so the
+    // _SUCCESS gates make the re-run exactly-once instead of re-ingesting
+    // the same files into a fresh slot as duplicate docs.
+    val intentP = new org.apache.hadoop.fs.Path(s"$indexDir/refresh_intent")
+    def readIntent(): Option[(Int, Long, Seq[String])] =
+      if (!catFs.exists(intentP)) None
+      else {
+        val in = catFs.open(intentP)
+        val lines =
+          try new String(in.readAllBytes(), "UTF-8").split("\n").toSeq
+          finally in.close()
+        Some((lines.head.toInt, lines(1).toLong, lines.drop(2).filter(_.nonEmpty)))
+      }
+    def writeIntent(slot: Int, base: Long, fls: Seq[String]): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/.refresh_intent.tmp")
+      val out = catFs.create(tmp, true)
+      try out.write((s"$slot\n$base\n" + fls.mkString("\n")).getBytes("UTF-8"))
+      finally out.close()
+      if (catFs.exists(intentP)) catFs.delete(intentP, false)
+      require(catFs.rename(tmp, intentP), s"rename $tmp -> $intentP failed")
+    }
+    def clearIntent(): Unit =
+      if (catFs.exists(intentP)) catFs.delete(intentP, false)
+
+    /** Ingest one file batch at a fixed (slot, base) and record it in the
+      * catalog; idempotent given the same (slot, base, files). */
+    def ingestFiles(slot: Int, base: Long, fls: Seq[String], initial: Boolean): Long = {
+      val raw = format match {
+        case "json" => spark.read.option("multiLine", "false").json(fls.toIndexedSeq: _*)
+        case _      => spark.read.option("header", "true").csv(fls.toIndexedSeq: _*)
+      }
+      val corpus = toCorpus(raw,
+        contentCol, repo = s"refresh/batch=$slot", idOffset = base).cache()
+      val nNew = corpus.count()
+      if (initial) IndexBuild.build(spark, corpus, indexDir, cfg.copy(numBatches = 1))
+      else {
+        // O(new data): the batch seals its own queryable generation - no
+        // remerge. Compaction only fires on accumulation; reclaim is
+        // deferred to the NEXT refresh's vacuum so concurrent readers
+        // keep their files.
+        IndexBuild.ingestBatch(spark, corpus, indexDir, slot, cfg)
+        if (IndexBuild.generations(spark, indexDir).size > cfg.maxGenerations)
+          IndexBuild.compactTail(spark, indexDir, cfg, reclaim = false)
+      }
+      // one catalog row per file would need per-file counts; the refresh
+      // unit is the batch, so record the batch's files with batch totals
+      IndexBuild.TableIO.append(
+        fls.map(f => CatalogRow(f, slot, nNew, base)).toSeq.toDF(),
+        catalogDir(indexDir))
+      corpus.unpersist()
+      nNew
+    }
+
+    // ---- recovery: finish a crashed refresh before planning a new one ----
+    readIntent().foreach { case (slot, base, fls) =>
+      val recorded = catFs.exists(catPath) &&
+        spark.read.parquet(catalogDir(indexDir))
+          .filter($"file_path" === fls.head).limit(1).count() > 0
+      if (!recorded && fls.nonEmpty)
+        ingestFiles(slot, base, fls, initial = slot == 0 && !catFs.exists(catPath))
+      clearIntent()
+    }
+
+    val catEmpty = !catFs.exists(catPath)
     // Diff listed files against the catalog as an ANTI-JOIN, never
     // collecting the catalog to the driver (at 10^7 ingested files the
-    // catalog is a table, not a driver object). Only the NEW paths — the
-    // refresh unit — come back, plus one single-row aggregate for
-    // (next batch id, doc base).
-    val (newFiles: Seq[String], batchId: Int, docBase: Long) =
-      if (catEmpty) (files.toSeq, 0, 0L)
+    // catalog is a table, not a driver object). Only the NEW paths - the
+    // refresh unit - come back.
+    val newFiles: Seq[String] =
+      if (catEmpty) files.toSeq
       else {
         val cat = spark.read.parquet(catalogDir(indexDir))
-        val listed = files.toSeq.toDF("file_path")
-        val fresh = listed.join(cat.select($"file_path"), Seq("file_path"), "left_anti")
+        files.toSeq.toDF("file_path")
+          .join(cat.select($"file_path"), Seq("file_path"), "left_anti")
           .as[String].collect().toSeq.sorted
-        // n_docs is the BATCH total, repeated on each of the batch's file
-        // rows -> distinct per batch before summing
-        val maxBatch = cat.agg(max($"batch_id")).as[Int].head()
-        // doc_id base and batch slot come from the INDEX, not the catalog:
-        // a streaming ingest (streamJson) occupies runs slots and doc_ids
-        // the catalog never sees — deriving either from catalog sums would
-        // collide with them (slot collision = new files silently recorded
-        // as indexed without ever being tokenized)
-        val slot = math.max(maxBatch + 1, IndexBuild.maxRunsBatch(spark, indexDir) + 1)
-        val base = spark.read.parquet(IndexBuild.docStatsDir(indexDir)).count()
-        (fresh, slot, base)
       }
     if (newFiles.isEmpty) return (0, 0L)
-    // Guard against a catalog/index mismatch: an empty catalog means THIS is
-    // the initial build, which will occupy runs/batch=0 — if that batch
-    // already exists (a prior `build`/pre-catalog `indexjson` run), silently
-    // skipping it via _SUCCESS would record the new files as indexed without
-    // ever tokenizing them, with wrong doc_id bases for every later refresh.
+    // Batch slot and doc_id base come from the INDEX, not the catalog: a
+    // streaming ingest (streamJson) occupies runs slots and doc_ids the
+    // catalog never sees - deriving either from catalog sums would collide
+    // with them (slot collision = new files silently recorded as indexed
+    // without ever being tokenized). docCount reads only COMMITTED
+    // doc_stats partitions, so a crashed write cannot shift the base.
+    val batchId: Int =
+      if (catEmpty) 0
+      else {
+        val maxBatch = spark.read.parquet(catalogDir(indexDir))
+          .agg(max($"batch_id")).as[Int].head()
+        math.max(maxBatch + 1, IndexBuild.maxRunsBatch(spark, indexDir) + 1)
+      }
+    val docBase = IndexBuild.docCount(spark, indexDir)
+    // Guard against a catalog/index mismatch: an empty catalog (and no
+    // intent - recovery ran above) means THIS is the initial build, which
+    // will occupy runs/batch=0 - if that batch already exists (a prior
+    // `build`/pre-catalog `indexjson` run), silently skipping it via
+    // _SUCCESS would record the new files as indexed without ever
+    // tokenizing them, with wrong doc_id bases for every later refresh.
     if (catEmpty && IndexBuild.TableIO.done(spark, IndexBuild.runsDir(indexDir, 0)))
       throw new IllegalStateException(
         s"$indexDir already contains runs/batch=0 but has no ingest catalog: " +
           "it was built outside the refresh flow. Refresh into a fresh index " +
           "directory (or keep using the original build path).")
-    val raw = format match {
-      case "json" => spark.read.option("multiLine", "false").json(newFiles.toIndexedSeq: _*)
-      case _      => spark.read.option("header", "true").csv(newFiles.toIndexedSeq: _*)
-    }
-    val corpus = toCorpus(raw,
-      contentCol, repo = s"refresh/batch=$batchId", idOffset = docBase).cache()
-    val nNew = corpus.count()
-    // refresh batches are numbered by catalog batch_id, so the initial build
-    // must occupy exactly runs/batch=0
-    if (catEmpty) IndexBuild.build(spark, corpus, indexDir, cfg.copy(numBatches = 1))
-    else {
-      // O(new data): the batch seals its own queryable generation — no
-      // remerge. Compaction only fires on accumulation (bounded fold of the
-      // tail generations), keeping query-time generation count flat across
-      // repeated refreshes.
-      IndexBuild.ingestBatch(spark, corpus, indexDir, batchId, cfg)
-      if (IndexBuild.generations(spark, indexDir).size > cfg.maxGenerations)
-        IndexBuild.compactTail(spark, indexDir, cfg)
-    }
-    // one catalog row per file would need per-file counts; the refresh unit
-    // is the batch, so record the batch's files with the batch totals
-    IndexBuild.TableIO.append(
-      newFiles.map(f => CatalogRow(f, batchId, nNew, docBase)).toSeq.toDF(),
-      catalogDir(indexDir))
-    corpus.unpersist()
+    writeIntent(batchId, docBase, newFiles)
+    val nNew = ingestFiles(batchId, docBase, newFiles, initial = catEmpty)
+    clearIntent()
     (newFiles.length, nNew)
   }
 }

@@ -202,14 +202,57 @@ class IncrementalSpec extends SparkTestBase {
     val ids = spark.read.parquet(IndexBuild.docStatsDir(idx))
       .select($"doc_id").as[Long].collect().sorted.toSeq
     assert(ids == (0L until 5L))
-    // a full compaction over streamed generations is still exact, and the
-    // folded inputs survive on disk (readers keep their files) until vacuum
-    IndexBuild.remerge(spark, idx, cfg)
+    // a full compaction over streamed generations is still exact; with
+    // reclaim deferred the folded inputs survive on disk (readers keep
+    // their files) until an explicit vacuum
+    IndexBuild.remerge(spark, idx, cfg, reclaim = false)
     assert(IndexBuild.generations(spark, idx).size == 1)
     assert(new Bm25Index(spark, idx).topKOr("streamed", 10).count() == 5)
     assert(IndexBuild.vacuum(spark, idx) >= 2)
     assert(IndexBuild.vacuum(spark, idx) == 0)   // idempotent
     assert(new Bm25Index(spark, idx).topKOr("streamed", 10).count() == 5)
+  }
+
+  test("crashed refresh (intent left, catalog append lost) recovers exactly-once") {
+    val data = tmpDir("wal_data")
+    val idx = tmpDir("wal_idx")
+    def writeFile(name: String, words: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$data/$name"),
+        words.map(w => s"""{"content": "$w wal corpus"}""").mkString("\n").getBytes("UTF-8"))
+    writeFile("a.json", Seq("wla", "wlb"))
+    assert(Ingest.refreshJson(spark, idx, data, "content", cfg) == ((1, 2L)))
+    writeFile("b.json", Seq("wlc"))
+    assert(Ingest.refreshJson(spark, idx, data, "content", cfg) == ((1, 1L)))
+    // simulate the crash window: batch 1 fully ingested but the catalog
+    // append lost — rebuild that state by removing b.json's catalog rows
+    // and restoring the intent file the crashed run would have left
+    val catRows = spark.read.parquet(Ingest.catalogDir(idx))
+      .filter(!$"file_path".contains("b.json"))
+      .collect()
+    val catDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(catRows.toIndexedSeq),
+      spark.read.parquet(Ingest.catalogDir(idx)).schema)
+    catDf.write.mode("overwrite").parquet(s"$idx/cat_tmp")
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf); f.delete()
+    }
+    rmrf(new java.io.File(Ingest.catalogDir(idx)))
+    spark.read.parquet(s"$idx/cat_tmp").write.parquet(Ingest.catalogDir(idx))
+    // the intent stores the same fully-qualified form the catalog uses
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$idx/refresh_intent"),
+      s"1\n2\nfile:$data/b.json".getBytes("UTF-8"))
+    // re-run: recovery must re-derive slot 1 / base 2, hit the _SUCCESS
+    // gates (no duplicate ingest), and complete the catalog append; the
+    // run itself then finds nothing new
+    assert(Ingest.refreshJson(spark, idx, data, "content", cfg) == ((0, 0L)))
+    assert(IndexBuild.maxRunsBatch(spark, idx) == 1)   // no fresh slot
+    val bm = new Bm25Index(spark, idx)
+    for ((t, n) <- Seq("wla" -> 1, "wlc" -> 1, "wal" -> 3))
+      assert(bm.topKOr(t, 10).count() == n, s"term $t")
+    // ids dense, no duplicates
+    val ids = spark.read.parquet(IndexBuild.docStatsDir(idx))
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == (0L until 3L))
   }
 
   test("batch refresh AFTER a streaming run allocates non-colliding slots and doc_ids") {
