@@ -99,9 +99,11 @@ object IndexBuild {
       saltThreshold: Long = 5000,  // df above this -> shard by doc range
       shardSize: Long = 4096,      // docs per head-term shard
       ingestParallelism: Int = 4,  // concurrent stage-1 batch jobs (reference M3 write pool)
-      maxGenerations: Int = 4)     // refresh folds tail generations above this
+      maxGenerations: Int = 4,     // refresh compacts when the count exceeds this
                                    // (the reference's merge-on-accumulation policy,
                                    // /root/reference/search_cond.go:828-837)
+      tierFanout: Int = 4)         // max generations folded per tiered compaction
+                                   // (the size-tier growth factor)
 
   object TableIO {
     def write(df: DataFrame, dir: String): Unit =
@@ -183,6 +185,59 @@ object IndexBuild {
       val retired = all.filter(isRetired(all, _))
       retired.foreach { case (l, h) => tables(l, h).foreach(TableIO.rmrf(spark, _)) }
       retired.size
+    }
+
+    /** Split the sorted survivor generations into maximal CONTIGUOUSLY-
+      * COVERED groups (adjacent gens with `l2 == h1 + 1`). A coverage gap
+      * between generations is a batch slot that was reserved but never
+      * sealed its generation — a crashed streaming epoch awaiting replay
+      * (Ingest.slotFor reserves the slot durably BEFORE ingesting). Folding
+      * across such a gap would commit a combined range CONTAINING the
+      * reserved slot; when the replayed epoch later seals `gen=slot_slot`,
+      * the containment rule would hide it and vacuum would delete it —
+      * silent data loss. So no fold window ever spans a coverage gap; the
+      * gap closes when the epoch replays, and later compactions fold
+      * across it normally. */
+    def contiguousGroups(gens: Seq[(Int, Int)]): Seq[Seq[(Int, Int)]] =
+      gens.foldLeft(Vector.empty[Vector[(Int, Int)]]) { (acc, g) =>
+        acc.lastOption match {
+          case Some(grp) if grp.last._2 + 1 == g._1 => acc.init :+ (grp :+ g)
+          case _ => acc :+ Vector(g)
+        }
+      }
+
+    /** Choose the cheapest fold window for SIZE-TIERED compaction: the run
+      * of 2..`fanout` adjacent (contiguously-covered) generations minimizing
+      * total size, grown greedily around the globally smallest adjacent pair
+      * while the next neighbor stays similar-sized (≤ 2× the window mean).
+      * Folding always merges similar-magnitude neighbors first, so a refresh
+      * stream pays O(current tier) per compaction — never O(total ingested)
+      * — and the base generation is only re-shuffled once smaller tiers have
+      * accumulated to its own magnitude (LSM size-tiering; the reference's
+      * single merge-everything pass, /root/reference/column.go:418-604,
+      * replaced by bounded amortized work). None when no group has 2 gens. */
+    def pickTieredWindow(groups: Seq[Seq[(Int, Int)]], size: ((Int, Int)) => Long,
+                         fanout: Int): Option[Seq[(Int, Int)]] = {
+      val pairs = for (g <- groups if g.size >= 2; i <- 0 until g.size - 1)
+        yield (g, i)
+      if (pairs.isEmpty) return None
+      val (grp, i0) = pairs.minBy { case (g, i) => size(g(i)) + size(g(i + 1)) }
+      var lo = i0
+      var hi = i0 + 1
+      var total = size(grp(lo)) + size(grp(hi))
+      var grown = true
+      while (grown && hi - lo + 1 < math.max(2, fanout)) {
+        grown = false
+        val mean = total.toDouble / (hi - lo + 1)
+        val cap = math.max(2.0 * mean, 1.0)
+        val lSz = if (lo > 0) size(grp(lo - 1)) else Long.MaxValue
+        val rSz = if (hi < grp.size - 1) size(grp(hi + 1)) else Long.MaxValue
+        if (lSz <= cap || rSz <= cap) {
+          if (lSz <= rSz) { lo -= 1; total += lSz } else { hi += 1; total += rSz }
+          grown = true
+        }
+      }
+      Some(grp.slice(lo, hi + 1))
     }
   }
 
@@ -489,12 +544,21 @@ object IndexBuild {
                    cfg: BuildConfig): Unit = {
     import spark.implicits._
     require(gens.size >= 2, "fold needs at least two generations")
-    // The combined range [min, max] may contain batch ids no generation
-    // covers (streaming epochs can skip slots); only the folded generations'
-    // OWN batches are read. Safe because slot allocation is monotone — a
-    // future generation always gets a batch id above every existing one, so
-    // nothing can later appear inside the committed combined range (which
-    // the generation listing would hide via the containment rule).
+    // The fold window must be CONTIGUOUSLY covered: a gap in [min, max] is a
+    // reserved-but-unsealed runs slot (a crashed streaming epoch awaiting
+    // replay, Ingest.slotFor). Committing a combined range spanning it would
+    // (a) bury the epoch's later-sealed gen=slot_slot via the containment
+    // rule (vacuum would then delete it — silent data loss) and (b) make a
+    // SECOND fold of the combined generation read the foreign slot's runs.
+    // Compaction policies split at gaps (GenListing.contiguousGroups), so
+    // this require only guards direct callers.
+    gens.sliding(2).foreach {
+      case Seq((_, h1), (l2, _)) =>
+        require(l2 == h1 + 1,
+          s"fold window spans a coverage gap between batch $h1 and $l2 " +
+            "(a reserved streaming slot); fold contiguous groups only")
+      case _ => ()
+    }
     val batches = gens.flatMap { case (l, h) => l to h }
     val nDocs = spark.read
       .parquet(gens.map { case (l, h) => statsGenDir(dir, l, h) }: _*)
@@ -509,35 +573,74 @@ object IndexBuild {
       TableIO.append(spark.createDataset(lineage.toSeq).toDF(), lineageDir(dir))
   }
 
-  /** Bounded compaction policy: fold every generation EXCEPT the (large)
-    * base into one. Size-tiered-style amortization — repeated refreshes pay
-    * O(sum of small tails), never O(base corpus); the base is only
-    * re-shuffled by an explicit [[remerge]]. No-op below 3 generations.
-    * This is the reference's accumulated-write-file merge with a work bound
-    * standing in for its `mergeDuration` deadline
-    * (/root/reference/config.go:62-66). */
+  /** Per-generation doc counts (tiny per-gen stats reads) — the size
+    * measure for tiered compaction. */
+  private def genSizes(spark: SparkSession, dir: String,
+                       gens: Seq[(Int, Int)]): Map[(Int, Int), Long] = {
+    import spark.implicits._
+    gens.map { case g @ (l, h) =>
+      g -> spark.read.parquet(statsGenDir(dir, l, h))
+        .select($"n_docs").as[Long].head()
+    }.toMap
+  }
+
+  /** SIZE-TIERED bounded compaction — the refresh/stream auto-fold policy
+    * (the reference's accumulated-write-file merge with a work bound
+    * standing in for its `mergeDuration` deadline,
+    * /root/reference/config.go:62-66). Triggers only above
+    * `cfg.maxGenerations` survivors, then folds ONE window of 2..tierFanout
+    * adjacent similar-sized generations — the cheapest one
+    * ([[GenListing.pickTieredWindow]]), never across a coverage gap. Work
+    * per compaction is bounded by the folded tier's size, not the total
+    * corpus: N same-sized refreshes cost O(N log N) total re-shuffled
+    * postings instead of the O(N·corpus) a fold-everything policy pays.
+    * Returns true when a fold happened. */
+  def compactTiered(spark: SparkSession, dir: String, cfg: BuildConfig = BuildConfig(),
+                    reclaim: Boolean = true): Boolean = {
+    val gens = generations(spark, dir)
+    if (gens.size <= cfg.maxGenerations) false
+    else {
+      val sizes = genSizes(spark, dir, gens)
+      GenListing.pickTieredWindow(GenListing.contiguousGroups(gens), sizes, cfg.tierFanout) match {
+        case Some(win) =>
+          fold(spark, dir, win, cfg)
+          // reclaim=false is for callers serving CONCURRENT readers (the
+          // refresh/stream policies), which vacuum on their own later schedule
+          if (reclaim) vacuum(spark, dir)
+          true
+        case None => false
+      }
+    }
+  }
+
+  /** Explicit tail compaction (CLI `compact`): fold every generation except
+    * the (large) base — one pass per contiguous group. Heavier than
+    * [[compactTiered]] (O(sum of tail sizes)), lighter than [[remerge]];
+    * the base is only re-shuffled by an explicit remerge. */
   def compactTail(spark: SparkSession, dir: String, cfg: BuildConfig = BuildConfig(),
                   reclaim: Boolean = true): Boolean = {
     val gens = generations(spark, dir)
     if (gens.size < 3) false
     else {
-      fold(spark, dir, gens.drop(1), cfg)
-      // reclaim=false is for callers serving CONCURRENT readers (the
-      // refresh/stream policies), which vacuum on their own later schedule
+      val folded = GenListing.contiguousGroups(gens.drop(1))
+        .filter(_.size >= 2)
+      folded.foreach(g => fold(spark, dir, g, cfg))
       if (reclaim) vacuum(spark, dir)
-      true
+      folded.nonEmpty
     }
   }
 
-  /** Full compaction: fold ALL generations into one (reference M4/M8 —
-    * merge everything accumulated). No-op when a single generation already
-    * covers every batch. */
+  /** Full compaction: fold ALL generations into one per contiguous group
+    * (reference M4/M8 — merge everything accumulated). Usually that is ONE
+    * generation; a reserved-but-unsealed streaming slot splits coverage
+    * until its epoch replays, leaving one generation per side of the gap. */
   def remerge(spark: SparkSession, dir: String, cfg: BuildConfig = BuildConfig(),
               reclaim: Boolean = true): Unit = {
     val gens = generations(spark, dir)
     require(gens.nonEmpty, s"no generations under $dir")
     if (gens.size >= 2) {
-      fold(spark, dir, gens, cfg)
+      GenListing.contiguousGroups(gens).filter(_.size >= 2)
+        .foreach(g => fold(spark, dir, g, cfg))
       if (reclaim) vacuum(spark, dir)
     }
   }

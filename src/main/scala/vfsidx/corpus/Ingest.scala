@@ -109,9 +109,35 @@ object Ingest {
                  contentCol: String, checkpointDir: String,
                  cfg: vfsidx.build.IndexBuild.BuildConfig =
                    vfsidx.build.IndexBuild.BuildConfig(numBatches = 1, numBuckets = 8),
-                 maxFilesPerTrigger: Int = 1): Unit = {
+                 maxFilesPerTrigger: Int = 1,
+                 schemaHint: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
     import vfsidx.build.IndexBuild
-    val schema = spark.read.option("multiLine", "false").json(dataDir).schema
+    // Schema: caller-supplied, else the one persisted by a previous start,
+    // else ONE batch inference — whose result is persisted under the
+    // checkpoint so restarts never re-scan the (ever-growing) ingest
+    // directory just to re-infer what is already known.
+    val ckFs = new org.apache.hadoop.fs.Path(checkpointDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val schemaPath = new org.apache.hadoop.fs.Path(checkpointDir, "graft_schema.json")
+    val schema: org.apache.spark.sql.types.StructType = schemaHint.getOrElse {
+      if (ckFs.exists(schemaPath)) {
+        val in = ckFs.open(schemaPath)
+        val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        org.apache.spark.sql.types.DataType.fromJson(json)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+      } else {
+        val inferred = spark.read.option("multiLine", "false").json(dataDir).schema
+        require(inferred.nonEmpty,
+          s"cannot infer a schema from $dataDir (empty or no valid JSON yet); " +
+            "pass schemaHint or start the stream after the first file lands")
+        ckFs.mkdirs(new org.apache.hadoop.fs.Path(checkpointDir))
+        val tmp = new org.apache.hadoop.fs.Path(checkpointDir, ".graft_schema.json.tmp")
+        val out = ckFs.create(tmp, true)
+        try out.write(inferred.json.getBytes("UTF-8")) finally out.close()
+        require(ckFs.rename(tmp, schemaPath), s"rename $tmp -> $schemaPath failed")
+        inferred
+      }
+    }
     // reclaim generations retired by earlier auto-compactions: by the next
     // stream start, any reader that planned against them is long gone
     IndexBuild.vacuum(spark, indexDir)
@@ -180,8 +206,9 @@ object Ingest {
           repo = s"stream/batch=$slot", idOffset = base).cache()
         try {
           IndexBuild.ingestBatch(spark, corpus, indexDir, slot, cfg)
-          if (IndexBuild.generations(spark, indexDir).size > cfg.maxGenerations)
-            IndexBuild.compactTail(spark, indexDir, cfg, reclaim = false)
+          // size-tiered auto-fold: bounded work (one small window), never
+          // spans a reserved slot, reclaim deferred to a later vacuum
+          IndexBuild.compactTiered(spark, indexDir, cfg, reclaim = false)
           ()
         } finally corpus.unpersist()
         }
@@ -221,6 +248,10 @@ object Ingest {
     // _SUCCESS gates make the re-run exactly-once instead of re-ingesting
     // the same files into a fresh slot as duplicate docs.
     val intentP = new org.apache.hadoop.fs.Path(s"$indexDir/refresh_intent")
+    /** None = no intent. A truncated/unparseable intent (which writeIntent's
+      * temp+rename protocol can never produce, but a hand-edited or
+      * foreign-version file could) parses to an EMPTY file list — recovery
+      * then just clears it instead of wedging every future refresh. */
     def readIntent(): Option[(Int, Long, Seq[String])] =
       if (!catFs.exists(intentP)) None
       else {
@@ -228,7 +259,9 @@ object Ingest {
         val lines =
           try new String(in.readAllBytes(), "UTF-8").split("\n").toSeq
           finally in.close()
-        Some((lines.head.toInt, lines(1).toLong, lines.drop(2).filter(_.nonEmpty)))
+        scala.util.Try(
+          (lines.head.trim.toInt, lines(1).trim.toLong, lines.drop(2).filter(_.nonEmpty))
+        ).toOption.orElse(Some((0, 0L, Seq.empty[String])))
       }
     def writeIntent(slot: Int, base: Long, fls: Seq[String]): Unit = {
       val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/.refresh_intent.tmp")
@@ -258,8 +291,7 @@ object Ingest {
         // deferred to the NEXT refresh's vacuum so concurrent readers
         // keep their files.
         IndexBuild.ingestBatch(spark, corpus, indexDir, slot, cfg)
-        if (IndexBuild.generations(spark, indexDir).size > cfg.maxGenerations)
-          IndexBuild.compactTail(spark, indexDir, cfg, reclaim = false)
+        IndexBuild.compactTiered(spark, indexDir, cfg, reclaim = false)
       }
       // one catalog row per file would need per-file counts; the refresh
       // unit is the batch, so record the batch's files with batch totals
@@ -272,11 +304,14 @@ object Ingest {
 
     // ---- recovery: finish a crashed refresh before planning a new one ----
     readIntent().foreach { case (slot, base, fls) =>
-      val recorded = catFs.exists(catPath) &&
-        spark.read.parquet(catalogDir(indexDir))
-          .filter($"file_path" === fls.head).limit(1).count() > 0
-      if (!recorded && fls.nonEmpty)
-        ingestFiles(slot, base, fls, initial = slot == 0 && !catFs.exists(catPath))
+      if (fls.nonEmpty) {
+        val recorded = catFs.exists(catPath) &&
+          spark.read.parquet(catalogDir(indexDir))
+            .filter($"file_path" === fls.head).limit(1).count() > 0
+        if (!recorded)
+          ingestFiles(slot, base, fls, initial = slot == 0 && !catFs.exists(catPath))
+      }
+      // an empty file list is a stale/foreign intent: clear, don't wedge
       clearIntent()
     }
 

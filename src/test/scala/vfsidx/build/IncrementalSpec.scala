@@ -213,6 +213,104 @@ class IncrementalSpec extends SparkTestBase {
     assert(new Bm25Index(spark, idx).topKOr("streamed", 10).count() == 5)
   }
 
+  test("REPLAYED stream epoch is never buried: folds refuse to span a reserved slot") {
+    // A streaming epoch reserves its runs slot (mkdir) BEFORE recording it
+    // in the checkpoint; if it crashes there, later compactions must not
+    // commit a generation range spanning that slot — else the replayed
+    // epoch's gen=slot_slot would be hidden by containment and vacuumed
+    // (silent data loss). Simulate: gens 0,1, reserved slot 2, gens 3,4,5.
+    val idx = tmpDir("buried_idx")
+    val tight = cfg.copy(numBatches = 1, maxGenerations = 2)
+    def batch(i: Int, lo: Long, hi: Long): Unit = {
+      val docs = Synth.corpus(spark, hi, partitions = 2)
+        .filter($"doc_id" >= lo).as[vfsidx.corpus.SourceFile]
+      IndexBuild.ingestBatch(spark, docs, idx, batchId = i, tight)
+    }
+    batch(0, 0, 40); batch(1, 40, 80)
+    // epoch reserves slot 2 and crashes before ingesting anything
+    new java.io.File(IndexBuild.runsDir(idx, 2)).mkdirs()
+    batch(3, 80, 120); batch(4, 120, 160); batch(5, 160, 200)
+    assert(IndexBuild.generations(spark, idx) ==
+      Seq((0, 0), (1, 1), (3, 3), (4, 4), (5, 5)))
+    // compaction (any number of rounds) must never produce a gen spanning 2
+    var folded = true
+    while (folded) folded = IndexBuild.compactTiered(spark, idx, tight)
+    IndexBuild.remerge(spark, idx, tight)
+    val gens = IndexBuild.generations(spark, idx)
+    assert(gens.forall { case (l, h) => h < 2 || l > 2 }, s"a gen spans slot 2: $gens")
+    // the epoch replays: its generation seals at slot 2 and SURVIVES
+    batch(2, 200, 240)
+    assert(IndexBuild.generations(spark, idx).contains((2, 2)))
+    val bm = new Bm25Index(spark, idx)
+    assert(bm.topKOr("needle_220", 5).count() == 1)   // the replayed docs are queryable
+    // with the gap closed, full compaction folds to ONE generation
+    IndexBuild.remerge(spark, idx, tight)
+    assert(IndexBuild.generations(spark, idx) == Seq((0, 5)))
+    assert(new Bm25Index(spark, idx).topKOr("needle_220", 5).count() == 1)
+  }
+
+  test("SIZE-TIERED compaction: per-fold shuffled postings stay bounded by the tier, not the total") {
+    val data = tmpDir("tier_data")
+    val idx = tmpDir("tier_idx")
+    val tight = cfg.copy(numBatches = 1, maxGenerations = 3, tierFanout = 3)
+    def writeFile(name: String, n: Int): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$data/$name"),
+        (0 until n).map(j => s"""{"content": "${name.stripSuffix(".json")}w$j shared tier corpus"}""")
+          .mkString("\n").getBytes("UTF-8"))
+    // large base, then 12 same-sized small refreshes
+    writeFile("base.json", 200)
+    Ingest.refreshJson(spark, idx, data, "content", tight)
+    for (i <- 1 to 12) {
+      writeFile(s"f$i.json", 10)
+      Ingest.refreshJson(spark, idx, data, "content", tight)
+      assert(IndexBuild.generations(spark, idx).size <= tight.maxGenerations + 1)
+    }
+    // lineage audit: the base generation is NEVER re-folded (no gen range
+    // starts at 0 except the base itself), every fold shuffles strictly
+    // less than the base, and the majority of folds are small-tier — the
+    // bounded-amortized-work signature of size-tiering (the old policy
+    // refolded the WHOLE tail every time)
+    val lin = spark.read.parquet(IndexBuild.lineageDir(idx))
+      .filter($"stage" === "segments").as[LineageRow].collect()
+    val byGen = lin.groupBy(_.gen).map { case (g, rs) => g -> rs.map(_.n_postings).sum }
+    val basePost = byGen("0_0")
+    assert(byGen.keys.forall(g => g == "0_0" || !g.startsWith("0_")),
+      s"the base generation was re-folded: ${byGen.keys}")
+    // folds = multi-batch gens other than the base (single-batch gens are
+    // the refreshes' own ingest generations)
+    val folds = byGen.collect {
+      case (g, p) if g != "0_0" && g.split('_') (0) != g.split('_') (1) => p
+    }.toSeq
+    assert(folds.nonEmpty)
+    assert(folds.forall(_ < basePost), s"a fold re-shuffled base volume: $byGen")
+    assert(folds.count(_ <= basePost / 4) * 2 >= folds.size,
+      s"folds are not tier-bounded: $byGen")
+    // correctness after all that folding
+    val bm = new Bm25Index(spark, idx)
+    assert(bm.topKOr("f7w3", 5).count() == 1)
+    assert(bm.topKOr("shared", 500).count() == 320)
+  }
+
+  test("stale or truncated refresh intent is cleared, not wedging refreshes") {
+    val data = tmpDir("stale_intent_data")
+    val idx = tmpDir("stale_intent_idx")
+    def writeFile(name: String, words: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$data/$name"),
+        words.map(w => s"""{"content": "$w intent corpus"}""").mkString("\n").getBytes("UTF-8"))
+    writeFile("a.json", Seq("ia", "ib"))
+    assert(Ingest.refreshJson(spark, idx, data, "content", cfg) == ((1, 2L)))
+    // truncated intent (only a slot line) — must be treated as stale
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$idx/refresh_intent"),
+      "7".getBytes("UTF-8"))
+    writeFile("b.json", Seq("ic"))
+    assert(Ingest.refreshJson(spark, idx, data, "content", cfg) == ((1, 1L)))
+    // empty intent likewise
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$idx/refresh_intent"),
+      Array.empty[Byte])
+    assert(Ingest.refreshJson(spark, idx, data, "content", cfg) == ((0, 0L)))
+    assert(new Bm25Index(spark, idx).topKOr("intent", 10).count() == 3)
+  }
+
   test("crashed refresh (intent left, catalog append lost) recovers exactly-once") {
     val data = tmpDir("wal_data")
     val idx = tmpDir("wal_idx")
