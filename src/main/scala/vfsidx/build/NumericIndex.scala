@@ -4,43 +4,91 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Build-time statistics for one numeric secondary index, persisted beside
-  * the projection so the query planner NEVER runs a counting job:
+/** Per-generation statistics for one numeric secondary index, persisted
+  * beside the projection so the query planner NEVER runs a counting job:
   *  - `n_rows` answers "what fraction of the table would this candidate set
-  *    be" (the projection has one row per table row);
+  *    be" (the projection has one row per covered table row);
   *  - `integral` records whether the source column was an exact integer
   *    type — fractional sources are cast (truncated toward zero) into the
   *    index, so range walks over them must widen strict bounds (see
   *    [[NumericIndex.range]]);
   *  - `quantiles` is a 129-point equi-probability sketch of `value`, the
   *    selectivity estimator standing in for the reference's per-file key
-  *    ranges when deciding index-vs-scan.
+  *    ranges when deciding index-vs-scan;
+  *  - `max_doc_id` is the staleness watermark: the highest id this
+  *    generation has seen (a table whose max id exceeds every generation's
+  *    watermark has rows the index never saw — QueryParser.queryIndexed
+  *    then falls back to the scan predicate).
   */
-final case class NumStats(n_rows: Long, integral: Boolean, quantiles: Array[Double])
+final case class NumStats(n_rows: Long, integral: Boolean,
+                          quantiles: Array[Double], max_doc_id: Long)
 
 /** Secondary point/range index for a numeric column on an UNSORTED table —
   * the reference's merged uint64-key segments with [first,last] file pruning
   * (/root/reference/index_file.go:937-1058,1208-1422), re-expressed
-  * columnar: a (value, doc_id) projection range-partitioned and sorted by
-  * value. Parquet row-group min/max statistics on `value` then play the
-  * role of the reference's per-file key ranges — a point or range lookup
-  * reads only the row groups whose [min,max] intersects the predicate
-  * (`.explain` shows the pushed filter; PLANS.md carries the audit).
+  * columnar AND log-structured: per-generation (value, doc_id) projections,
+  * each range-partitioned and sorted by value. Parquet row-group min/max
+  * statistics on `value` then play the role of the reference's per-file key
+  * ranges — a point or range lookup reads only the row groups whose
+  * [min,max] intersects the predicate (`.explain` shows the pushed filter;
+  * PLANS.md carries the audit).
+  *
+  * Incremental refresh (the reference's re-`Regist`) appends a generation
+  * per ingested batch ([[ingestBatch]]) — O(new data); lookups read the
+  * union of the survivor generations (each still pruned); the tiered
+  * policy ([[compactTiered]]) folds accumulated small generations. Same
+  * generation machinery ([[IndexBuild.GenListing]]) as the word and trigram
+  * indexes: `_SUCCESS`-gated commits, containment-rule retirement, deferred
+  * vacuum.
   *
   * At 100 TB the projection is a tiny fraction of the table (two int64
-  * columns), the single `repartitionByRange` shuffle is the build cost, and
-  * every lookup after that is a pruned scan of O(matching row groups) — no
-  * full-table scan, no driver-side structure.
+  * columns), the single `repartitionByRange` shuffle per generation is the
+  * build cost, and every lookup after that is a pruned scan of O(matching
+  * row groups) — no full-table scan, no driver-side structure.
   */
 object NumericIndex {
 
-  import IndexBuild.TableIO
+  import IndexBuild.{GenListing, TableIO}
 
-  def dir(root: String, col: String) = s"$root/num/$col/data"
-  def statsDir(root: String, col: String) = s"$root/num/$col/stats"
+  def colDir(root: String, col: String) = s"$root/num/$col"
+  def dataGenDir(root: String, col: String, lo: Int, hi: Int) =
+    s"${colDir(root, col)}/data/gen=${lo}_$hi"
+  def statsGenDir(root: String, col: String, lo: Int, hi: Int) =
+    s"${colDir(root, col)}/stats/gen=${lo}_$hi"
+
+  private def genTables(root: String, col: String)(l: Int, h: Int): Seq[String] =
+    Seq(dataGenDir(root, col, l, h), statsGenDir(root, col, l, h))
+
+  def generations(spark: SparkSession, root: String, column: String): Seq[(Int, Int)] =
+    GenListing.survivors(GenListing.committed(
+      spark, s"${colDir(root, column)}/data", genTables(root, column)))
+
+  def vacuum(spark: SparkSession, root: String, column: String): Int =
+    GenListing.reclaim(spark, GenListing.committed(
+      spark, s"${colDir(root, column)}/data", genTables(root, column)),
+      genTables(root, column))
 
   def exists(spark: SparkSession, root: String, column: String): Boolean =
-    TableIO.done(spark, dir(root, column))
+    generations(spark, root, column).nonEmpty
+
+  /** Highest generation batch id PRESENT on disk (committed or reserved),
+    * -1 for none — the monotone slot allocator. The numeric index has no
+    * runs stage, so the data gen dirs themselves are the reservation
+    * markers ([[reserveSlot]] mkdirs one before it is durably recorded). */
+  def maxBatch(spark: SparkSession, root: String, column: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"${colDir(root, column)}/data")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1
+    else fs.listStatus(p).map(_.getPath.getName)
+      .collect { case n if n.startsWith("gen=") =>
+        n.stripPrefix("gen=").split('_')(1).toInt }
+      .foldLeft(-1)(math.max)
+  }
+
+  def reserveSlot(spark: SparkSession, root: String, column: String, batch: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dataGenDir(root, column, batch, batch))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
+  }
 
   private def isIntegral(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType => true
@@ -49,48 +97,157 @@ object NumericIndex {
 
   val QuantilePoints = 128
 
+  /** Initial build: one generation (gen=0_0) over the whole table. No-op if
+    * any generation is already committed — incremental callers use
+    * [[ingestBatch]] for new rows instead. */
   def build(spark: SparkSession, df: DataFrame, idCol: String, numCol: String,
-            root: String, numBuckets: Int = 32): Unit = {
-    val out = dir(root, numCol)
-    if (!TableIO.done(spark, out)) {
-      val proj = df.select(col(numCol).cast("long").as("value"),
-          col(idCol).cast("long").as("doc_id"))
-        .repartitionByRange(numBuckets, col("value"))
-        .sortWithinPartitions(col("value"), col("doc_id"))
-      TableIO.write(proj, out)
+            root: String, numBuckets: Int = 32): Unit =
+    if (!exists(spark, root, numCol))
+      buildGeneration(spark,
+        df.select(col(numCol).cast("long").as("value"), col(idCol).cast("long").as("doc_id")),
+        isIntegral(df.schema(numCol).dataType), root, numCol, 0, 0, numBuckets,
+        force = false)
+
+  /** Seal `newRows` as generation `batchId_batchId` — O(new data).
+    * `overwrite` bypasses the `_SUCCESS` gates for recovery-style callers
+    * that recompute `newRows` freshly per attempt (writes are
+    * Overwrite-mode, so this stays idempotent). */
+  def ingestBatch(spark: SparkSession, newRows: DataFrame, idCol: String,
+                  numCol: String, root: String, batchId: Int,
+                  numBuckets: Int = 32, overwrite: Boolean = false): Unit = {
+    val done = genTables(root, numCol)(batchId, batchId).forall(TableIO.done(spark, _))
+    if (!overwrite && done) return
+    buildGeneration(spark,
+      newRows.select(col(numCol).cast("long").as("value"), col(idCol).cast("long").as("doc_id")),
+      isIntegral(newRows.schema(numCol).dataType), root, numCol,
+      batchId, batchId, numBuckets, force = overwrite)
+  }
+
+  /** Write one generation from a (value, doc_id) projection: the single
+    * range-partitioning shuffle, then stats off the written parquet
+    * (footer-metadata count + one sketch pass over the tiny projection). */
+  private def buildGeneration(spark: SparkSession, proj: DataFrame, integral: Boolean,
+                              root: String, col0: String, lo: Int, hi: Int,
+                              numBuckets: Int, force: Boolean): Unit = {
+    import spark.implicits._
+    val out = dataGenDir(root, col0, lo, hi)
+    if (force || !TableIO.done(spark, out)) {
+      TableIO.write(
+        proj.repartitionByRange(numBuckets, col("value"))
+          .sortWithinPartitions(col("value"), col("doc_id")), out)
     }
-    if (!TableIO.done(spark, statsDir(root, numCol))) {
-      import spark.implicits._
+    val stDir = statsGenDir(root, col0, lo, hi)
+    if (force || !TableIO.done(spark, stDir)) {
       val written = spark.read.parquet(out)
       val nRows = written.count()   // parquet-footer metadata, no data scan
       val probs = (0 to QuantilePoints).map(_.toDouble / QuantilePoints).toArray
       val qs =
         if (nRows == 0) Array.empty[Double]
         else written.stat.approxQuantile("value", probs, 0.001)
-      TableIO.write(
-        Seq(NumStats(nRows, isIntegral(df.schema(numCol).dataType), qs)).toDF(),
-        statsDir(root, numCol))
+      val maxId =
+        if (nRows == 0) -1L
+        else written.agg(max($"doc_id")).as[Long].head()
+      TableIO.write(Seq(NumStats(nRows, integral, qs, maxId)).toDF(), stDir)
     }
   }
 
+  /** Fold contiguous generations: re-range-partition the union of their
+    * projections into one combined generation (inputs retired via the
+    * containment rule, reclaimed by [[vacuum]] later). */
+  private def fold(spark: SparkSession, root: String, column: String,
+                   gens: Seq[(Int, Int)], numBuckets: Int): Unit = {
+    import spark.implicits._
+    require(gens.size >= 2, "fold needs at least two generations")
+    gens.sliding(2).foreach {
+      case Seq((_, h1), (l2, _)) =>
+        require(l2 == h1 + 1,
+          s"numeric fold window spans a coverage gap between $h1 and $l2")
+      case _ => ()
+    }
+    val integral = spark.read
+      .parquet(gens.map { case (l, h) => statsGenDir(root, column, l, h) }: _*)
+      .as[NumStats].collect().forall(_.integral)
+    val data = spark.read
+      .parquet(gens.map { case (l, h) => dataGenDir(root, column, l, h) }: _*)
+    buildGeneration(spark, data, integral, root, column,
+      gens.map(_._1).min, gens.map(_._2).max, numBuckets, force = false)
+  }
+
+  /** Size-tiered bounded compaction (same policy as
+    * [[IndexBuild.compactTiered]]). */
+  def compactTiered(spark: SparkSession, root: String, column: String,
+                    maxGenerations: Int = 4, tierFanout: Int = 4,
+                    numBuckets: Int = 32, reclaim: Boolean = true): Boolean = {
+    import spark.implicits._
+    val gens = generations(spark, root, column)
+    if (gens.size <= maxGenerations) false
+    else {
+      val sizes = gens.map { case g @ (l, h) =>
+        g -> spark.read.parquet(statsGenDir(root, column, l, h))
+          .select($"n_rows").as[Long].head()
+      }.toMap
+      GenListing.pickTieredWindow(GenListing.contiguousGroups(gens), sizes, tierFanout) match {
+        case Some(win) =>
+          fold(spark, root, column, win, numBuckets)
+          if (reclaim) vacuum(spark, root, column)
+          true
+        case None => false
+      }
+    }
+  }
+
+  /** (stats-cache key) → merged stats. Keyed on the committed generation
+    * list AND each stats table's `_SUCCESS` mtime, so a rebuilt or
+    * refreshed index at the same path can never serve stale cached stats
+    * (a stale `integral=true` would keep range walks strict on a
+    * now-fractional source and silently drop boundary rows). */
   private val statsCache =
     new java.util.concurrent.ConcurrentHashMap[String, NumStats]()
 
-  /** Persisted build stats; None while the stats table is absent (e.g. a
-    * build crash-resumed between the data and stats commits). Only PRESENT
-    * stats are cached — an absent table is re-probed on every call, so the
-    * moment the resumed build commits it, the planner sees it. */
+  /** Merged persisted build stats; None while no generation is committed
+    * (e.g. a build crash-resumed between the data and stats commits).
+    * n_rows and max_doc_id merge additively/by max; quantile sketches merge
+    * by n_rows-weighted pooling (an ESTIMATE — only the index-vs-scan gate
+    * consumes it); `integral` must hold for every generation. */
   def stats(spark: SparkSession, root: String, column: String): Option[NumStats] = {
-    val d = statsDir(root, column)
-    Option(statsCache.get(d)).orElse {
-      import spark.implicits._
-      if (!TableIO.done(spark, d)) None
-      else {
-        val st = spark.read.parquet(d).as[NumStats].head()
-        statsCache.put(d, st)
-        Some(st)
-      }
+    import spark.implicits._
+    val gens = generations(spark, root, column)
+    if (gens.isEmpty) return None
+    val fs = new org.apache.hadoop.fs.Path(colDir(root, column))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val key = gens.map { case (l, h) =>
+      val s = fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(statsGenDir(root, column, l, h), "_SUCCESS"))
+      s"${l}_$h@${s.getModificationTime}"
+    }.mkString(colDir(root, column) + "|", ",", "")
+    Option(statsCache.get(key)).orElse {
+      val rows = spark.read
+        .parquet(gens.map { case (l, h) => statsGenDir(root, column, l, h) }: _*)
+        .as[NumStats].collect()
+      val merged = NumStats(
+        rows.map(_.n_rows).sum,
+        rows.forall(_.integral),
+        mergeQuantiles(rows.map(r => (r.n_rows, r.quantiles)).toSeq),
+        if (rows.isEmpty) -1L else rows.map(_.max_doc_id).max)
+      statsCache.put(key, merged)
+      Some(merged)
     }
+  }
+
+  /** n-weighted pooling of per-generation equi-probability sketches into
+    * one (QuantilePoints+1)-point sketch. */
+  private[build] def mergeQuantiles(gens: Seq[(Long, Array[Double])]): Array[Double] = {
+    val pts = gens.filter { case (n, qs) => n > 0 && qs.nonEmpty }
+      .flatMap { case (n, qs) => val w = n.toDouble / qs.length; qs.map((_, w)) }
+      .sortBy(_._1)
+    if (pts.isEmpty) return Array.empty
+    val total = pts.map(_._2).sum
+    val cum = pts.scanLeft(0.0)(_ + _._2).tail   // cumulative weight at each point
+    (0 to QuantilePoints).map { i =>
+      val target = total * i / QuantilePoints
+      val j = cum.indexWhere(_ >= target)
+      pts(if (j < 0) pts.length - 1 else j)._1
+    }.toArray
   }
 
   /** Estimated fraction of rows with value in the (index-walk, i.e. widened)
@@ -105,8 +262,11 @@ object NumericIndex {
     math.min(1.0, inside.toDouble / st.quantiles.length + 2.0 / st.quantiles.length)
   }
 
-  private def read(spark: SparkSession, root: String, column: String): DataFrame =
-    spark.read.parquet(dir(root, column))
+  private def read(spark: SparkSession, root: String, column: String): DataFrame = {
+    val gens = generations(spark, root, column)
+    require(gens.nonEmpty, s"no numeric-index generations for $column under $root")
+    spark.read.parquet(gens.map { case (l, h) => dataGenDir(root, column, l, h) }: _*)
+  }
 
   /** doc_ids with value == v (reference P2 as an index lookup). Exact even
     * for fractional sources: only x == v.0 truncates to v AND satisfies the

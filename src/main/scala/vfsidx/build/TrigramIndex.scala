@@ -21,6 +21,14 @@ final case class TriSegmentRow(
 
 final case class TriDictRow(key: Long, df: Long)
 
+/** Per-generation trigram-index stats: `n_rows` is the number of source
+  * rows the generation covers (additive across generations — the size
+  * measure for tiered compaction), `max_doc_id` the highest id it has seen
+  * (the staleness watermark consulted by QueryParser.queryIndexed: a table
+  * whose max id exceeds every generation's watermark has rows the index
+  * never saw, so the index must not be used). -1 for an empty build. */
+final case class TriStats(n_rows: Long, max_doc_id: Long)
+
 /** Persisted trigram (substring) index — the reference's core capability:
   * per-value rune-trigram posting files merged into key-sorted segments
   * (/root/reference/column.go:538-584, /root/reference/spec/index.fbs:22-29),
@@ -58,15 +66,56 @@ object TrigramIndex {
   def lineageDir(dir: String) = s"$dir/tri_lineage"
   def dictGenDir(dir: String, lo: Int, hi: Int) = s"$dir/tri_dict/gen=${lo}_$hi"
   def segmentsGenDir(dir: String, lo: Int, hi: Int) = s"$dir/tri_segments/gen=${lo}_$hi"
+  def statsGenDir(dir: String, lo: Int, hi: Int) = s"$dir/tri_stats/gen=${lo}_$hi"
 
   final case class TriConfig(
       numBuckets: Int = 32,
       saltThreshold: Long = 5000,
       shardSize: Long = 4096,
-      maxGenerations: Int = 4)
+      maxGenerations: Int = 4,
+      tierFanout: Int = 4)
 
   private def genTables(dir: String)(l: Int, h: Int): Seq[String] =
-    Seq(segmentsGenDir(dir, l, h), dictGenDir(dir, l, h))
+    Seq(segmentsGenDir(dir, l, h), dictGenDir(dir, l, h), statsGenDir(dir, l, h))
+
+  /** Highest runs batch id PRESENT on disk (committed or reserved), -1 for
+    * none — the monotone slot allocator (same contract as
+    * [[IndexBuild.maxRunsBatch]]). */
+  def maxBatch(spark: SparkSession, dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(runsDir(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1
+    else fs.listStatus(p).map(_.getPath.getName)
+      .collect { case n if n.startsWith("batch=") => n.stripPrefix("batch=").toInt }
+      .foldLeft(-1)(math.max)
+  }
+
+  /** Reserve a runs slot (mkdir the batch dir) BEFORE durably recording it,
+    * so other allocators skip past even if the recording actor crashes —
+    * the same protocol as the word index's streaming slots. */
+  def reserveSlot(spark: SparkSession, dir: String, batch: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(runsBatchDir(dir, batch))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
+  }
+
+  /** Merged per-generation stats; None while no generation is committed. */
+  def statsMerged(spark: SparkSession, dir: String): Option[TriStats] = {
+    import spark.implicits._
+    val gens = generations(spark, dir)
+    if (gens.isEmpty) None
+    else {
+      val rows = spark.read
+        .parquet(gens.map { case (l, h) => statsGenDir(dir, l, h) }: _*)
+        .as[TriStats].collect()
+      Some(TriStats(rows.map(_.n_rows).sum,
+        if (rows.isEmpty) -1L else rows.map(_.max_doc_id).max))
+    }
+  }
+
+  /** Highest doc id any committed generation has indexed — the staleness
+    * watermark ([[TriStats]]); None when the index has no generations. */
+  def coveredMaxDocId(spark: SparkSession, dir: String): Option[Long] =
+    statsMerged(spark, dir).map(_.max_doc_id)
 
   /** Same contract as [[IndexBuild.generations]] (shared listing /
     * containment machinery: [[IndexBuild.GenListing]]). */
@@ -129,27 +178,38 @@ object TrigramIndex {
     if (!TableIO.done(spark, runsBatchDir(dir, 0))) timed("tri_runs") {
       TableIO.write(tokenizeRuns(df, idCol, strCol), runsBatchDir(dir, 0))
     }
-    buildGeneration(spark, dir, Seq(0), cfg)
+    val (nRows, maxId) = countAndMax(df, idCol)
+    buildGeneration(spark, dir, Seq(0), cfg, nRows, maxId)
+  }
+
+  /** (row count, max id) of the source slice — the generation's stats. */
+  private def countAndMax(df: DataFrame, idCol: String): (Long, Long) = {
+    val r = df.agg(count(lit(1)), max(col(idCol).cast("long"))).head()
+    (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))
   }
 
   /** Incremental ingest (the reference's re-`Regist` over new data files,
     * /root/reference/indexer.go:77-93): write one postings batch for
     * `newDocs` AND seal it as its own generation — immediately queryable,
-    * O(new data); idempotent per batchId. */
+    * O(new data); idempotent per batchId. `overwrite` is for recovery-style
+    * callers that recompute `newDocs` freshly each attempt (the re-regist
+    * refresh): a partially-ingested slot's runs may be stale relative to
+    * the recomputed rows, so the gates are bypassed and every table is
+    * rewritten (writes are Overwrite-mode, so this is idempotent too). */
   def ingestBatch(spark: SparkSession, newDocs: DataFrame, idCol: String,
                   strCol: String, dir: String, batchId: Int,
-                  cfg: TriConfig = TriConfig()): Unit = {
+                  cfg: TriConfig = TriConfig(), overwrite: Boolean = false): Unit = {
     val bDir = runsBatchDir(dir, batchId)
-    val genDone = TableIO.done(spark, segmentsGenDir(dir, batchId, batchId)) &&
-      TableIO.done(spark, dictGenDir(dir, batchId, batchId))
-    if (TableIO.done(spark, bDir) && genDone) return
-    if (!TableIO.done(spark, bDir))
+    val genDone = genTables(dir)(batchId, batchId).forall(TableIO.done(spark, _))
+    if (!overwrite && TableIO.done(spark, bDir) && genDone) return
+    if (overwrite || !TableIO.done(spark, bDir))
       TableIO.write(tokenizeRuns(newDocs, idCol, strCol), bDir)
     // bucket count sized to the batch: a small refresh generation must not
     // fan into numBuckets near-empty files that every query then opens
-    val nNew = newDocs.count()
+    val (nNew, maxId) = countAndMax(newDocs, idCol)
     buildGeneration(spark, dir, Seq(batchId), cfg.copy(
-      numBuckets = IndexBuild.ingestBuckets(nNew, cfg.numBuckets, cfg.shardSize)))
+      numBuckets = IndexBuild.ingestBuckets(nNew, cfg.numBuckets, cfg.shardSize)),
+      nNew, maxId, force = overwrite)
   }
 
   /** Fold contiguous generations into one covering their union by
@@ -158,44 +218,90 @@ object TrigramIndex {
     * in the interim, so readers stay exact). */
   private def fold(spark: SparkSession, dir: String, gens: Seq[(Int, Int)],
                    cfg: TriConfig): Unit = {
+    import spark.implicits._
     require(gens.size >= 2, "fold needs at least two generations")
-    // only the folded generations' own batches are read — the combined
-    // range may contain skipped slots (see IndexBuild.fold for the
-    // monotone-slot safety argument)
-    buildGeneration(spark, dir, gens.flatMap { case (l, h) => l to h }, cfg)
+    // contiguous coverage required — a gap is a reserved-but-unsealed slot
+    // whose later generation a spanning fold would bury (see IndexBuild.fold)
+    gens.sliding(2).foreach {
+      case Seq((_, h1), (l2, _)) =>
+        require(l2 == h1 + 1,
+          s"trigram fold window spans a coverage gap between $h1 and $l2")
+      case _ => ()
+    }
+    val st = spark.read
+      .parquet(gens.map { case (l, h) => statsGenDir(dir, l, h) }: _*)
+      .as[TriStats].collect()
+    buildGeneration(spark, dir, gens.flatMap { case (l, h) => l to h }, cfg,
+      st.map(_.n_rows).sum, if (st.isEmpty) -1L else st.map(_.max_doc_id).max)
     // inputs retired, not deleted — [[vacuum]] reclaims them after a grace
     // period so in-flight readers keep their files (see IndexBuild.fold)
   }
 
-  /** Bounded compaction: fold every generation except the base (see
-    * [[IndexBuild.compactTail]]; pass reclaim=false when concurrent readers
-    * may be mid-scan and vacuum later). */
+  /** Per-generation sizes for the tiered policy (tiny stats reads). */
+  private def genSizes(spark: SparkSession, dir: String,
+                       gens: Seq[(Int, Int)]): Map[(Int, Int), Long] = {
+    import spark.implicits._
+    gens.map { case g @ (l, h) =>
+      g -> spark.read.parquet(statsGenDir(dir, l, h))
+        .select($"n_rows").as[Long].head()
+    }.toMap
+  }
+
+  /** Size-tiered bounded compaction — same policy as
+    * [[IndexBuild.compactTiered]]: above `maxGenerations` survivors, fold
+    * the cheapest window of 2..tierFanout adjacent similar-sized
+    * generations, never across a coverage gap. */
+  def compactTiered(spark: SparkSession, dir: String, cfg: TriConfig = TriConfig(),
+                    reclaim: Boolean = true): Boolean = {
+    val gens = generations(spark, dir)
+    if (gens.size <= cfg.maxGenerations) false
+    else {
+      val sizes = genSizes(spark, dir, gens)
+      IndexBuild.GenListing.pickTieredWindow(
+        IndexBuild.GenListing.contiguousGroups(gens), sizes, cfg.tierFanout) match {
+        case Some(win) =>
+          fold(spark, dir, win, cfg)
+          if (reclaim) vacuum(spark, dir)
+          true
+        case None => false
+      }
+    }
+  }
+
+  /** Explicit tail compaction: fold every generation except the base, one
+    * pass per contiguous group (see [[IndexBuild.compactTail]]; pass
+    * reclaim=false when concurrent readers may be mid-scan). */
   def compactTail(spark: SparkSession, dir: String, cfg: TriConfig = TriConfig(),
                   reclaim: Boolean = true): Boolean = {
     val gens = generations(spark, dir)
     if (gens.size < 3) false
     else {
-      fold(spark, dir, gens.drop(1), cfg)
+      val folded = IndexBuild.GenListing.contiguousGroups(gens.drop(1)).filter(_.size >= 2)
+      folded.foreach(g => fold(spark, dir, g, cfg))
       if (reclaim) vacuum(spark, dir)
-      true
+      folded.nonEmpty
     }
   }
 
-  /** Full compaction: fold ALL generations into one (reference M4/M8). */
+  /** Full compaction: fold ALL generations into one per contiguous group
+    * (reference M4/M8). */
   def remerge(spark: SparkSession, dir: String, cfg: TriConfig = TriConfig(),
               reclaim: Boolean = true): Unit = {
     val gens = generations(spark, dir)
     require(gens.nonEmpty, s"no trigram generations under $dir")
     if (gens.size >= 2) {
-      fold(spark, dir, gens, cfg)
+      IndexBuild.GenListing.contiguousGroups(gens).filter(_.size >= 2)
+        .foreach(g => fold(spark, dir, g, cfg))
       if (reclaim) vacuum(spark, dir)
     }
   }
 
-  /** Dict + segments for the given runs `batches` under `gen=<min>_<max>`;
-    * `_SUCCESS`-gated per table for resume. */
+  /** Dict + stats + segments for the given runs `batches` under
+    * `gen=<min>_<max>`; `_SUCCESS`-gated per table for resume (bypassed
+    * and rewritten when `force`). */
   private def buildGeneration(spark: SparkSession, dir: String, batches: Seq[Int],
-                              cfg: TriConfig): Unit = {
+                              cfg: TriConfig, nRows: Long, maxDocId: Long,
+                              force: Boolean = false): Unit = {
     import spark.implicits._
     val (lo, hi) = (batches.min, batches.max)
     val gen = s"${lo}_$hi"
@@ -203,12 +309,16 @@ object TrigramIndex {
       spark.read.parquet(batches.map(runsBatchDir(dir, _)): _*)
 
     val dDir = dictGenDir(dir, lo, hi)
-    if (!TableIO.done(spark, dDir)) timed(s"tri_dict:$gen") {
+    if (force || !TableIO.done(spark, dDir)) timed(s"tri_dict:$gen") {
       TableIO.write(runs.groupBy($"key").agg(count(lit(1)).as("df")), dDir)
     }
 
+    val stDir = statsGenDir(dir, lo, hi)
+    if (force || !TableIO.done(spark, stDir))
+      TableIO.write(Seq(TriStats(nRows, maxDocId)).toDF(), stDir)
+
     val segDir = segmentsGenDir(dir, lo, hi)
-    if (!TableIO.done(spark, segDir)) timed(s"tri_segments:$gen") {
+    if (force || !TableIO.done(spark, segDir)) timed(s"tri_segments:$gen") {
       val t0 = System.currentTimeMillis()
       // Zipf head is tiny (#keys with df > threshold < totalPostings/threshold)
       val headKeys = spark.read.parquet(dDir)

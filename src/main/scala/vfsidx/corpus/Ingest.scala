@@ -51,6 +51,32 @@ object Ingest {
     }
   }
 
+  /** Attach a dense doc_id column (named `idCol`) to any frame, starting at
+    * `idOffset` — the same deterministic two-phase scheme as [[toCorpus]],
+    * but keeping EVERY source column: one id assignment then feeds the
+    * corpus AND every registered per-column index (they must agree on ids).
+    * Callers that consume the result more than once should persist `df`
+    * first (the refresh/stream paths do): the counting pass, the id pass
+    * and all downstream consumers then parse the source exactly once. */
+  def withDocIds(df: DataFrame, idCol: String, idOffset: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.select(lit(1).as("one")).as[Int].mapPartitions { it =>
+      Iterator.single((org.apache.spark.TaskContext.getPartitionId(), it.size.toLong))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(idOffset)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val outSchema = df.schema.add(idCol, org.apache.spark.sql.types.LongType,
+      nullable = false)
+    df.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val base = bc.value(pid)
+      it.zipWithIndex.map { case (r, j) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (base + j))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** JSON or JSONL directory/file (the reference's primary format, S1). */
   def json(spark: SparkSession, path: String, contentCol: String): Dataset[SourceFile] =
     toCorpus(spark.read.option("multiLine", "false").json(path), contentCol)
@@ -141,6 +167,14 @@ object Ingest {
     // reclaim generations retired by earlier auto-compactions: by the next
     // stream start, any reader that planned against them is long gone
     IndexBuild.vacuum(spark, indexDir)
+    val (triCols, numCols) = registeredCols(spark, indexDir)
+    triCols.foreach(c => vfsidx.build.TrigramIndex.vacuum(spark, s"$indexDir/tri/$c"))
+    numCols.foreach(c => vfsidx.build.NumericIndex.vacuum(spark, indexDir, c))
+    val needed = (contentCol +: (triCols ++ numCols)).distinct
+    val missingCols = needed.filterNot(f => schema.fieldNames.contains(f))
+    require(missingCols.isEmpty,
+      s"stream schema lacks column(s) ${missingCols.mkString(", ")} required by " +
+        "the content field or a registered per-column index")
     // Durable epoch -> runs-slot map (one tiny file per epoch under the
     // checkpoint, written via temp+rename BEFORE ingesting): a REPLAYED
     // epoch — crash after foreachBatch, before the offset-log commit —
@@ -152,30 +186,51 @@ object Ingest {
     // same index — slot allocation is first-committed-wins, not locked.)
     val hfs = new org.apache.hadoop.fs.Path(checkpointDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def slotFor(epochId: Long): Int = {
+    /** (word slot, per-column slots, doc_id base) for this epoch — read
+      * back from the durable per-epoch file on replay. The BASE must be
+      * recorded too: a replayed epoch whose word ingest already committed
+      * would re-derive a base from a docCount that now INCLUDES its own
+      * docs, and the per-column rewrites would stamp the replayed rows with
+      * shifted ids. The recorded base makes the recomputed id assignment
+      * byte-identical to the original attempt. */
+    def slotFor(epochId: Long, freshBase: => Long): (Int, Map[String, Int], Long) = {
       val slotsDir = new org.apache.hadoop.fs.Path(checkpointDir, "graft_slots")
       val f = new org.apache.hadoop.fs.Path(slotsDir, s"epoch-$epochId")
       if (hfs.exists(f)) {
         val in = hfs.open(f)
-        try new String(in.readAllBytes(), "UTF-8").trim.toInt finally in.close()
+        val lines =
+          try new String(in.readAllBytes(), "UTF-8").split("\n").toSeq
+          finally in.close()
+        val colSlots =
+          if (lines.size < 2 || lines(1).trim == "-") Map.empty[String, Int]
+          else lines(1).trim.split(',').map { kv =>
+            val Array(k, v) = kv.split('='); k -> v.toInt
+          }.toMap
+        (lines.head.trim.toInt, colSlots,
+          if (lines.size < 3) freshBase else lines(2).trim.toLong)
       } else {
         val slot = IndexBuild.maxRunsBatch(spark, indexDir) + 1
-        // RESERVE the slot in the index itself (create the runs batch dir)
-        // before recording it in the checkpoint: maxRunsBatch-based
+        // RESERVE every slot in the index itself (create the marker dirs)
+        // before recording them in the checkpoint: max-batch-based
         // allocators (a later batch refresh, another stream start) then see
-        // it and skip past, even if this epoch crashes before writing any
-        // data — otherwise a refresh could claim the slot and the replayed
+        // them and skip past, even if this epoch crashes before writing any
+        // data — otherwise a refresh could claim a slot and the replayed
         // epoch would be _SUCCESS-skipped over the refresh's data, silently
         // dropping this epoch's files.
         val resFs = new org.apache.hadoop.fs.Path(IndexBuild.runsDir(indexDir, slot))
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         resFs.mkdirs(new org.apache.hadoop.fs.Path(IndexBuild.runsDir(indexDir, slot)))
+        val colSlots = allocateColSlots(spark, indexDir, triCols, numCols)
+        val slotLine =
+          if (colSlots.isEmpty) "-"
+          else colSlots.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")
+        val base = freshBase
         hfs.mkdirs(slotsDir)
         val tmp = new org.apache.hadoop.fs.Path(slotsDir, s".epoch-$epochId.tmp")
         val out = hfs.create(tmp, true)
-        try out.write(slot.toString.getBytes("UTF-8")) finally out.close()
+        try out.write(s"$slot\n$slotLine\n$base".getBytes("UTF-8")) finally out.close()
         require(hfs.rename(tmp, f), s"rename $tmp -> $f failed")
-        slot
+        (slot, colSlots, base)
       }
     }
     val stream = spark.readStream.schema(schema)
@@ -194,27 +249,115 @@ object Ingest {
         // one epoch is the in-stream grace period, so an unbounded stream
         // never accumulates retired dirs
         IndexBuild.vacuum(spark, indexDir)
-        val slot = slotFor(epochId)
-        // ids continue after the persisted corpus. docCount reads only
-        // COMMITTED doc_stats partitions, and ingestBatch commits runs
-        // BEFORE the batch's doc_stats: a replayed epoch whose runs did
-        // not commit re-derives the SAME base (its doc_stats cannot have
-        // committed either), and one whose runs committed is skipped by
-        // the _SUCCESS gates before ids matter.
-        val base = IndexBuild.docCount(spark, indexDir)
-        val corpus = toCorpus(df, contentCol,
-          repo = s"stream/batch=$slot", idOffset = base).cache()
+        triCols.foreach(c => vfsidx.build.TrigramIndex.vacuum(spark, s"$indexDir/tri/$c"))
+        numCols.foreach(c => vfsidx.build.NumericIndex.vacuum(spark, indexDir, c))
+        // ids continue after the persisted corpus (docCount reads only
+        // COMMITTED doc_stats partitions); on replay the RECORDED base
+        // wins — see slotFor's Scaladoc
+        val (slot, colSlots, base) =
+          slotFor(epochId, IndexBuild.docCount(spark, indexDir))
+        val rawIds = withDocIds(df.select(needed.map(col): _*), IdCol, base)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
+          val corpus = corpusFromIds(rawIds, contentCol, repo = s"stream/batch=$slot")
           IndexBuild.ingestBatch(spark, corpus, indexDir, slot, cfg)
           // size-tiered auto-fold: bounded work (one small window), never
           // spans a reserved slot, reclaim deferred to a later vacuum
           IndexBuild.compactTiered(spark, indexDir, cfg, reclaim = false)
+          // registered per-column indexes ride the same epoch/slot protocol
+          ingestColumns(spark, indexDir, rawIds, triCols, numCols, colSlots, cfg)
           ()
-        } finally corpus.unpersist()
+        } finally rawIds.unpersist()
         }
       }
       .start()
     q.awaitTermination()
+  }
+
+  /** Per-column indexes registered under the index dir — the columns the
+    * incremental drivers must keep fresh alongside the word index
+    * (the reference re-`Regist`s every registered column,
+    * /root/reference/indexer.go:77-93): (trigram columns, numeric columns),
+    * discovered from the tri/<col> and num/<col> directories that
+    * `QueryParser.buildIndexes` lays down. */
+  def registeredCols(spark: SparkSession, indexDir: String): (Seq[String], Seq[String]) = {
+    def subdirs(p: String): Seq[String] = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(path)) Seq.empty
+      else fs.listStatus(path).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
+    }
+    (subdirs(s"$indexDir/tri"), subdirs(s"$indexDir/num"))
+  }
+
+  private def triCfgOf(cfg: vfsidx.build.IndexBuild.BuildConfig) =
+    vfsidx.build.TrigramIndex.TriConfig(
+      numBuckets = cfg.numBuckets, saltThreshold = cfg.saltThreshold,
+      shardSize = cfg.shardSize, maxGenerations = cfg.maxGenerations,
+      tierFanout = cfg.tierFanout)
+
+  /** Internal name for the dense id column attached to raw ingested rows —
+    * reserved so it can never collide with a source column. */
+  private val IdCol = "__vfs_doc_id"
+
+  /** Allocate-and-RESERVE the per-column index slots for one ingest unit:
+    * slot = next past everything present, then mkdir the slot's marker dir
+    * so other allocators (a stream start, another refresh) skip past even
+    * if we crash before durably recording the allocation. Returned map is
+    * keyed "tri:<col>" / "num:<col>" for the WAL / epoch file. */
+  private def allocateColSlots(spark: SparkSession, indexDir: String,
+                               triCols: Seq[String], numCols: Seq[String]): Map[String, Int] = {
+    import vfsidx.build.{NumericIndex, TrigramIndex}
+    val tri = triCols.map { c =>
+      val d = s"$indexDir/tri/$c"
+      val slot = TrigramIndex.maxBatch(spark, d) + 1
+      TrigramIndex.reserveSlot(spark, d, slot)
+      s"tri:$c" -> slot
+    }
+    val num = numCols.map { c =>
+      val slot = NumericIndex.maxBatch(spark, indexDir, c) + 1
+      NumericIndex.reserveSlot(spark, indexDir, c, slot)
+      s"num:$c" -> slot
+    }
+    (tri ++ num).toMap
+  }
+
+  /** Ingest the id-stamped batch into every registered per-column index at
+    * the recorded slots (overwrite-mode: recovery recomputes the same rows,
+    * so rewriting a partially-ingested slot is idempempotent), then fold via
+    * the tiered policy with reclaim deferred (concurrent readers). */
+  private def ingestColumns(spark: SparkSession, indexDir: String, rawIds: DataFrame,
+                            triCols: Seq[String], numCols: Seq[String],
+                            colSlots: Map[String, Int],
+                            cfg: vfsidx.build.IndexBuild.BuildConfig): Unit = {
+    import vfsidx.build.{NumericIndex, TrigramIndex}
+    triCols.foreach { c =>
+      val d = s"$indexDir/tri/$c"
+      val slot = colSlots.getOrElse(s"tri:$c", TrigramIndex.maxBatch(spark, d) + 1)
+      TrigramIndex.ingestBatch(spark, rawIds, IdCol, c, d, slot,
+        triCfgOf(cfg), overwrite = true)
+      TrigramIndex.compactTiered(spark, d, triCfgOf(cfg), reclaim = false)
+    }
+    numCols.foreach { c =>
+      val slot = colSlots.getOrElse(s"num:$c", NumericIndex.maxBatch(spark, indexDir, c) + 1)
+      NumericIndex.ingestBatch(spark, rawIds, IdCol, c, indexDir, slot,
+        cfg.numBuckets, overwrite = true)
+      NumericIndex.compactTiered(spark, indexDir, c,
+        cfg.maxGenerations, cfg.tierFanout, cfg.numBuckets, reclaim = false)
+    }
+  }
+
+  /** Raw batch -> SourceFile corpus off an id-stamped frame. */
+  private def corpusFromIds(rawIds: DataFrame, contentCol: String,
+                            repo: String): Dataset[SourceFile] = {
+    val spark = rawIds.sparkSession
+    import spark.implicits._
+    rawIds.select(col(IdCol), col(contentCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, c0) =>
+        val c = Option(c0).getOrElse("")
+        SourceFile(id, repo, s"$repo/row=$id", "", "", c, Synth.sha256Hex(c))
+      }
   }
 
   private def refresh(spark: SparkSession, indexDir: String, dataDir: String,
@@ -237,36 +380,53 @@ object Ingest {
       .sorted
     val catPath = new org.apache.hadoop.fs.Path(catalogDir(indexDir))
     val catFs = catPath.getFileSystem(hconf)
+    val (triCols, numCols) = registeredCols(spark, indexDir)
     // reclaim generations retired by the PREVIOUS refresh's compaction -
     // one full refresh cycle is the grace period for in-flight readers
-    if (catFs.exists(catPath)) IndexBuild.vacuum(spark, indexDir)
+    if (catFs.exists(catPath)) {
+      IndexBuild.vacuum(spark, indexDir)
+      triCols.foreach(c => vfsidx.build.TrigramIndex.vacuum(spark, s"$indexDir/tri/$c"))
+      numCols.foreach(c => vfsidx.build.NumericIndex.vacuum(spark, indexDir, c))
+    }
 
     // ---- refresh intent WAL ------------------------------------------
-    // (slot, doc base, file list) is persisted BEFORE ingesting, cleared
-    // after the catalog append: a crash anywhere between leaves an intent
-    // whose recovery below re-derives the SAME slot and base, so the
-    // _SUCCESS gates make the re-run exactly-once instead of re-ingesting
-    // the same files into a fresh slot as duplicate docs.
+    // (slot, doc base, per-column slots, file list) is persisted BEFORE
+    // ingesting, cleared after the catalog append: a crash anywhere between
+    // leaves an intent whose recovery below re-derives the SAME slots and
+    // base, so the _SUCCESS gates (word index) and overwrite-mode rewrites
+    // (per-column indexes) make the re-run exactly-once instead of
+    // re-ingesting the same files into fresh slots as duplicate docs.
     val intentP = new org.apache.hadoop.fs.Path(s"$indexDir/refresh_intent")
     /** None = no intent. A truncated/unparseable intent (which writeIntent's
       * temp+rename protocol can never produce, but a hand-edited or
       * foreign-version file could) parses to an EMPTY file list — recovery
       * then just clears it instead of wedging every future refresh. */
-    def readIntent(): Option[(Int, Long, Seq[String])] =
+    def readIntent(): Option[(Int, Long, Map[String, Int], Seq[String])] =
       if (!catFs.exists(intentP)) None
       else {
         val in = catFs.open(intentP)
         val lines =
           try new String(in.readAllBytes(), "UTF-8").split("\n").toSeq
           finally in.close()
-        scala.util.Try(
-          (lines.head.trim.toInt, lines(1).trim.toLong, lines.drop(2).filter(_.nonEmpty))
-        ).toOption.orElse(Some((0, 0L, Seq.empty[String])))
+        scala.util.Try {
+          require(lines.head.trim == "v2")
+          val slots =
+            if (lines(3).trim == "-") Map.empty[String, Int]
+            else lines(3).trim.split(',').map { kv =>
+              val Array(k, v) = kv.split('='); k -> v.toInt
+            }.toMap
+          (lines(1).trim.toInt, lines(2).trim.toLong, slots,
+            lines.drop(4).filter(_.nonEmpty))
+        }.toOption.orElse(Some((0, 0L, Map.empty[String, Int], Seq.empty[String])))
       }
-    def writeIntent(slot: Int, base: Long, fls: Seq[String]): Unit = {
+    def writeIntent(slot: Int, base: Long, colSlots: Map[String, Int],
+                    fls: Seq[String]): Unit = {
+      val slotLine =
+        if (colSlots.isEmpty) "-"
+        else colSlots.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")
       val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/.refresh_intent.tmp")
       val out = catFs.create(tmp, true)
-      try out.write((s"$slot\n$base\n" + fls.mkString("\n")).getBytes("UTF-8"))
+      try out.write((s"v2\n$slot\n$base\n$slotLine\n" + fls.mkString("\n")).getBytes("UTF-8"))
       finally out.close()
       if (catFs.exists(intentP)) catFs.delete(intentP, false)
       require(catFs.rename(tmp, intentP), s"rename $tmp -> $intentP failed")
@@ -274,42 +434,58 @@ object Ingest {
     def clearIntent(): Unit =
       if (catFs.exists(intentP)) catFs.delete(intentP, false)
 
-    /** Ingest one file batch at a fixed (slot, base) and record it in the
-      * catalog; idempotent given the same (slot, base, files). */
-    def ingestFiles(slot: Int, base: Long, fls: Seq[String], initial: Boolean): Long = {
+    /** Ingest one file batch at a fixed (slot, base, per-column slots) and
+      * record it in the catalog; idempotent given the same arguments. */
+    def ingestFiles(slot: Int, base: Long, colSlots: Map[String, Int],
+                    fls: Seq[String], initial: Boolean): Long = {
       val raw = format match {
         case "json" => spark.read.option("multiLine", "false").json(fls.toIndexedSeq: _*)
         case _      => spark.read.option("header", "true").csv(fls.toIndexedSeq: _*)
       }
-      val corpus = toCorpus(raw,
-        contentCol, repo = s"refresh/batch=$slot", idOffset = base).cache()
-      val nNew = corpus.count()
-      if (initial) IndexBuild.build(spark, corpus, indexDir, cfg.copy(numBatches = 1))
-      else {
-        // O(new data): the batch seals its own queryable generation - no
-        // remerge. Compaction only fires on accumulation; reclaim is
-        // deferred to the NEXT refresh's vacuum so concurrent readers
-        // keep their files.
-        IndexBuild.ingestBatch(spark, corpus, indexDir, slot, cfg)
-        IndexBuild.compactTiered(spark, indexDir, cfg, reclaim = false)
-      }
-      // one catalog row per file would need per-file counts; the refresh
-      // unit is the batch, so record the batch's files with batch totals
-      IndexBuild.TableIO.append(
-        fls.map(f => CatalogRow(f, slot, nNew, base)).toSeq.toDF(),
-        catalogDir(indexDir))
-      corpus.unpersist()
-      nNew
+      val needed = (contentCol +: (triCols ++ numCols)).distinct
+      val missing = needed.filterNot(raw.columns.contains)
+      require(missing.isEmpty,
+        s"ingested files lack column(s) ${missing.mkString(", ")} required by " +
+          s"the content field or a registered per-column index (have: " +
+          s"${raw.columns.mkString(", ")})")
+      // ONE id assignment feeds the corpus and every per-column index; the
+      // persist makes the source parse once (counting pass materializes the
+      // cache, every later consumer reads it) — reference M1's single
+      // tokenize pass over new files, /root/reference/column.go:139-176
+      val rawIds = withDocIds(raw.select(needed.map(col): _*), IdCol, base)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nNew = rawIds.count()
+        val corpus = corpusFromIds(rawIds, contentCol, repo = s"refresh/batch=$slot")
+        if (initial) IndexBuild.build(spark, corpus, indexDir, cfg.copy(numBatches = 1))
+        else {
+          // O(new data): the batch seals its own queryable generation - no
+          // remerge. Compaction only fires on accumulation; reclaim is
+          // deferred to the NEXT refresh's vacuum so concurrent readers
+          // keep their files.
+          IndexBuild.ingestBatch(spark, corpus, indexDir, slot, cfg)
+          IndexBuild.compactTiered(spark, indexDir, cfg, reclaim = false)
+        }
+        // registered per-column indexes stay fresh alongside the word index
+        ingestColumns(spark, indexDir, rawIds, triCols, numCols, colSlots, cfg)
+        // one catalog row per file would need per-file counts; the refresh
+        // unit is the batch, so record the batch's files with batch totals
+        IndexBuild.TableIO.append(
+          fls.map(f => CatalogRow(f, slot, nNew, base)).toSeq.toDF(),
+          catalogDir(indexDir))
+        nNew
+      } finally rawIds.unpersist()
     }
 
     // ---- recovery: finish a crashed refresh before planning a new one ----
-    readIntent().foreach { case (slot, base, fls) =>
+    readIntent().foreach { case (slot, base, colSlots, fls) =>
       if (fls.nonEmpty) {
         val recorded = catFs.exists(catPath) &&
           spark.read.parquet(catalogDir(indexDir))
             .filter($"file_path" === fls.head).limit(1).count() > 0
         if (!recorded)
-          ingestFiles(slot, base, fls, initial = slot == 0 && !catFs.exists(catPath))
+          ingestFiles(slot, base, colSlots, fls,
+            initial = slot == 0 && !catFs.exists(catPath))
       }
       // an empty file list is a stale/foreign intent: clear, don't wedge
       clearIntent()
@@ -354,8 +530,19 @@ object Ingest {
         s"$indexDir already contains runs/batch=0 but has no ingest catalog: " +
           "it was built outside the refresh flow. Refresh into a fresh index " +
           "directory (or keep using the original build path).")
-    writeIntent(batchId, docBase, newFiles)
-    val nNew = ingestFiles(batchId, docBase, newFiles, initial = catEmpty)
+    // RESERVE every slot (mkdir its marker dir) before durably recording
+    // the plan: a stream start between the intent write and the ingest
+    // would otherwise allocate the same slots and the recovery's
+    // _SUCCESS-gated re-run would silently skip over the stream's data.
+    // (A crash in the reserve->writeIntent window orphans empty reserved
+    // dirs: a permanent coverage gap that blocks folds across it — a
+    // bounded performance wart, never a correctness one.)
+    new org.apache.hadoop.fs.Path(IndexBuild.runsDir(indexDir, batchId))
+      .getFileSystem(hconf)
+      .mkdirs(new org.apache.hadoop.fs.Path(IndexBuild.runsDir(indexDir, batchId)))
+    val colSlots = allocateColSlots(spark, indexDir, triCols, numCols)
+    writeIntent(batchId, docBase, colSlots, newFiles)
+    val nNew = ingestFiles(batchId, docBase, colSlots, newFiles, initial = catEmpty)
     clearIntent()
     (newFiles.length, nNew)
   }

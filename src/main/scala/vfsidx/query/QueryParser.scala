@@ -124,15 +124,55 @@ object QueryParser {
 
   def triDir(root: String, col: String) = s"$root/tri/$col"
 
-  /** Build the per-column index set consulted by [[queryIndexed]]:
-    * a trigram index per string column, a sorted numeric projection per
-    * numeric column — the reference's per-column `Regist` indexes
-    * (/root/reference/indexer.go:77-93), one directory per column. */
+  /** Build OR REFRESH the per-column index set consulted by
+    * [[queryIndexed]]: a trigram index per string column, a sorted numeric
+    * projection per numeric column — the reference's per-column `Regist`
+    * indexes (/root/reference/indexer.go:77-93), one directory per column.
+    *
+    * Re-running against a GROWN table is the reference's re-`Regist`
+    * (/root/reference/column.go:167-176): each index compares its
+    * persisted max-doc-id watermark to the table and seals ONLY the new
+    * rows (id above the watermark) as a fresh generation — O(new data) —
+    * then folds via the tiered policy when generations accumulate. Requires
+    * ids of appended rows to be increasing (the engine's dense-id ingest
+    * guarantees it); a table violating that is caught by the staleness
+    * guard in [[queryIndexed]], which compares the same watermark.
+    * Crash-safe without a WAL: `newRows` is recomputed from the committed
+    * watermark each attempt and the ingest overwrites the (uncommitted)
+    * slot it re-derives. */
   def buildIndexes(spark: SparkSession, df: DataFrame, idCol: String,
                    strCols: Seq[String], numCols: Seq[String], root: String,
                    triCfg: TrigramIndex.TriConfig = TrigramIndex.TriConfig()): Unit = {
-    strCols.foreach(c => TrigramIndex.build(spark, df, idCol, c, triDir(root, c), triCfg))
-    numCols.foreach(c => NumericIndex.build(spark, df, idCol, c, root))
+    strCols.foreach { c =>
+      val dir = triDir(root, c)
+      TrigramIndex.coveredMaxDocId(spark, dir) match {
+        case None => TrigramIndex.build(spark, df, idCol, c, dir, triCfg)
+        case Some(covered) =>
+          val newRows = df.filter(col(idCol).cast("long") > covered)
+          if (!newRows.isEmpty) {
+            // slot past every committed generation; a crashed attempt's
+            // partial slot is re-derived and overwritten (see Scaladoc)
+            val slot = TrigramIndex.generations(spark, dir).map(_._2).max + 1
+            TrigramIndex.ingestBatch(spark, newRows, idCol, c, dir, slot,
+              triCfg, overwrite = true)
+            TrigramIndex.compactTiered(spark, dir, triCfg)
+          }
+      }
+    }
+    numCols.foreach { c =>
+      if (!NumericIndex.exists(spark, root, c))
+        NumericIndex.build(spark, df, idCol, c, root)
+      else {
+        val covered = NumericIndex.stats(spark, root, c).map(_.max_doc_id).getOrElse(-1L)
+        val newRows = df.filter(col(idCol).cast("long") > covered)
+        if (!newRows.isEmpty) {
+          val slot = NumericIndex.generations(spark, root, c).map(_._2).max + 1
+          NumericIndex.ingestBatch(spark, newRows, idCol, c, root, slot,
+            overwrite = true)
+          NumericIndex.compactTiered(spark, root, c)
+        }
+      }
+    }
   }
 
   /** Numeric-index conjuncts estimated to match more than this fraction of
@@ -148,7 +188,22 @@ object QueryParser {
     * a scan anyway). Exactness is never at stake: candidates are a superset
     * and every predicate is re-applied by [[queryIndexed]]. */
   private def groupCandidates(spark: SparkSession, exprs: Seq[Expr],
-                              tableRows: => Long, indexRoot: String): Option[DataFrame] = {
+                              tableMaxId: => Option[Long],
+                              indexRoot: String): Option[DataFrame] = {
+    // STALENESS GUARD: an index whose max-doc-id watermark is below the
+    // table's max id has rows it never saw (the `regist` -> table-grows ->
+    // `query --index` hazard) — consulting it would silently drop matches
+    // in those rows. Such a conjunct degrades to a scan predicate (always
+    // correct); re-running `regist` (buildIndexes) restores the fast path.
+    def fresh(what: String, covered: Option[Long]): Boolean = covered match {
+      case None => false
+      case Some(cov) =>
+        val ok = tableMaxId.forall(_ <= cov)
+        if (!ok) System.err.println(
+          s"vfsidx: $what index is STALE (covers ids <= $cov, table has " +
+            s"${tableMaxId.get}) - falling back to scan; re-run regist to refresh")
+        ok
+    }
     // string equality shares the reference's containment semantics
     // (search_cond.go:728-791), so it consults the same trigram index;
     // the re-applied predicate keeps it exact either way
@@ -158,8 +213,8 @@ object QueryParser {
     // predicate alone keeps queryIndexed row-identical to query() (same
     // rule as TrigramIndex.searchExact's full-scan bypass)
     def indexable(c: String, s: String): Boolean =
-      TrigramIndex.exists(spark, triDir(indexRoot, c)) &&
-        Tokenizer.triKeys(s).nonEmpty && TrigramIndex.wellFormedUtf16(s)
+      Tokenizer.triKeys(s).nonEmpty && TrigramIndex.wellFormedUtf16(s) &&
+        fresh(s"tri/$c", TrigramIndex.coveredMaxDocId(spark, triDir(indexRoot, c)))
     val searchSets: Seq[DataFrame] = exprs.flatMap {
       case Search(c, s) if indexable(c, s) =>
         Some(TrigramIndex.searchCandidates(spark, triDir(indexRoot, c), s))
@@ -175,7 +230,8 @@ object QueryParser {
                             eq: Option[Long], contradiction: Boolean)
     val numBounds = scala.collection.mutable.LinkedHashMap[String, Bounds]()
     exprs.foreach {
-      case Cmp(c, op, Left(v)) if op != "!=" && NumericIndex.exists(spark, indexRoot, c) =>
+      case Cmp(c, op, Left(v)) if op != "!=" &&
+          fresh(s"num/$c", NumericIndex.stats(spark, indexRoot, c).map(_.max_doc_id)) =>
         val b = numBounds.getOrElse(c, Bounds(None, None, None, contradiction = false))
         val nb = op match {
           case "==" => b.eq match {
@@ -194,18 +250,13 @@ object QueryParser {
         numBounds(c) = nb
       case _ => ()
     }
-    // index-vs-scan gate from persisted stats — no query-time jobs
+    // index-vs-scan gate from persisted stats — no query-time jobs (stats
+    // commit with every generation, so a consulted index always has them)
     def selective(col: String, lo: Option[Long], hi: Option[Long],
                   cand: => DataFrame): Option[DataFrame] =
-      NumericIndex.stats(spark, indexRoot, col) match {
-        case Some(st) =>
-          if (NumericIndex.estimateFraction(st, lo, hi) <= MaxIndexSelectivity) Some(cand)
-          else None
-        case None =>   // legacy index without stats: count once (pruned scan)
-          val c = cand
-          val n = c.count()
-          if (tableRows == 0 || n.toDouble / tableRows <= MaxIndexSelectivity) Some(c)
-          else None
+      NumericIndex.stats(spark, indexRoot, col).flatMap { st =>
+        if (NumericIndex.estimateFraction(st, lo, hi) <= MaxIndexSelectivity) Some(cand)
+        else None
       }
     val numSets: Seq[DataFrame] = numBounds.toSeq.flatMap { case (c, b) =>
       if (b.contradiction) Some(spark.range(0).toDF("doc_id"))
@@ -242,8 +293,14 @@ object QueryParser {
   def queryIndexed(spark: SparkSession, df: DataFrame, idCol: String,
                    indexRoot: String, q: String): DataFrame = {
     val groups = parseQuery(q)
-    lazy val tableRows = df.count()   // only if a stats-less legacy gate fires
-    val sets = groups.map(g => groupCandidates(spark, g, tableRows, indexRoot))
+    // the table's id watermark for the staleness guard — ONE column-pruned
+    // agg job, evaluated lazily (only when a candidate index is consulted)
+    // and shared across all conjunct groups
+    lazy val tableMaxId: Option[Long] = {
+      val r = df.agg(max(col(idCol).cast("long"))).head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    val sets = groups.map(g => groupCandidates(spark, g, tableMaxId, indexRoot))
     val base =
       if (sets.exists(_.isEmpty)) df
       else {

@@ -1,0 +1,156 @@
+package vfsidx.build
+
+import org.apache.spark.sql.functions._
+import vfsidx.SparkTestBase
+import vfsidx.corpus.Ingest
+import vfsidx.query.QueryParser
+
+/** Per-column (trigram/numeric) index REFRESH — the round-3 verdict's one
+  * latent correctness hazard: a `regist`-ed index on a growing table must
+  * either be refreshed (re-regist seals only the new rows as a generation)
+  * or be detected STALE by queryIndexed (scan fallback), never silently
+  * drop rows the index has not seen. */
+class ColumnRefreshSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def mkTable(n: Int) =
+    (0 until n).map { i =>
+      (i.toLong, s"title item$i ${if (i % 3 == 0) "alpha" else "beta"} tail", (i % 40).toLong)
+    }.toDF("doc_id", "title", "n")
+
+  private val exprs = Seq(
+    """title.search("item12")""",
+    """title.search("alpha") && n >= 10 && n < 20""",
+    "n == 7",
+    """title.search("beta") && n < 5 || title.search("item140")""")
+
+  private def checkIdentical(root: String, df: org.apache.spark.sql.DataFrame): Unit =
+    for (e <- exprs) {
+      val a = QueryParser.queryIndexed(spark, df, "doc_id", root, e)
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+      val b = QueryParser.query(df, e)
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+      assert(a == b, s"expr: $e -> indexed $a vs scan $b")
+    }
+
+  test("re-regist on a grown table seals ONLY the new rows; queryIndexed row-identical") {
+    val root = tmpDir("colref_root")
+    val t0 = mkTable(100).cache()
+    val t1 = mkTable(150).cache()
+    val triCfg = TrigramIndex.TriConfig(numBuckets = 4, saltThreshold = 100, shardSize = 64)
+    QueryParser.buildIndexes(spark, t0, "doc_id", Seq("title"), Seq("n"), root, triCfg)
+    assert(TrigramIndex.generations(spark, QueryParser.triDir(root, "title")) == Seq((0, 0)))
+    assert(NumericIndex.generations(spark, root, "n") == Seq((0, 0)))
+    checkIdentical(root, t0)
+
+    // table grows; re-running regist = the reference's re-Regist refresh
+    QueryParser.buildIndexes(spark, t1, "doc_id", Seq("title"), Seq("n"), root, triCfg)
+    assert(TrigramIndex.generations(spark, QueryParser.triDir(root, "title")) ==
+      Seq((0, 0), (1, 1)))
+    assert(NumericIndex.generations(spark, root, "n") == Seq((0, 0), (1, 1)))
+    // watermark advanced to the table's max id
+    assert(TrigramIndex.coveredMaxDocId(spark, QueryParser.triDir(root, "title"))
+      .contains(149L))
+    assert(NumericIndex.stats(spark, root, "n").get.max_doc_id == 149L)
+    checkIdentical(root, t1)
+    // idempotent: nothing new -> no new generation
+    QueryParser.buildIndexes(spark, t1, "doc_id", Seq("title"), Seq("n"), root, triCfg)
+    assert(TrigramIndex.generations(spark, QueryParser.triDir(root, "title")).size == 2)
+  }
+
+  test("STALE index (table grew, no refresh) falls back to scan - row-identical, never drops rows") {
+    val root = tmpDir("colref_stale")
+    val t0 = mkTable(100).cache()
+    val t1 = mkTable(150).cache()
+    QueryParser.buildIndexes(spark, t0, "doc_id", Seq("title"), Seq("n"), root,
+      TrigramIndex.TriConfig(numBuckets = 4, saltThreshold = 100, shardSize = 64))
+    // the index really is behind the table ...
+    assert(TrigramIndex.coveredMaxDocId(spark, QueryParser.triDir(root, "title"))
+      .exists(_ < 149L))
+    // ... and item140 lives ONLY in the unseen rows: an un-guarded indexed
+    // path would return nothing for it
+    checkIdentical(root, t1)
+    // the fresh part of the table still answers identically too
+    checkIdentical(root, t0)
+  }
+
+  test("directory refresh (Ingest) keeps registered per-column indexes fresh; bounded generations") {
+    val data = tmpDir("colref_data")
+    val idx = tmpDir("colref_idx")
+    val cfg = IndexBuild.BuildConfig(numBatches = 1, numBuckets = 4,
+      saltThreshold = 100, shardSize = 64, maxGenerations = 2)
+    def writeFile(name: String, rows: Seq[(String, String, Int)]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$data/$name"),
+        rows.map { case (c, t, n) =>
+          s"""{"content": "$c", "title": "$t", "n": $n}"""
+        }.mkString("\n").getBytes("UTF-8"))
+    writeFile("a.json", Seq(("alpha body", "first doc", 5), ("beta body", "second doc", 6)))
+    assert(Ingest.refreshJson(spark, idx, data, "content", cfg) == ((1, 2L)))
+    // register per-column indexes over the ingested corpus (ids re-derived
+    // with the same deterministic assignment the refresh used)
+    val first = Ingest.withDocIds(
+      spark.read.json(s"$data/a.json").select($"title", $"n"), "doc_id", 0L)
+    TrigramIndex.build(spark, first, "doc_id", "title", s"$idx/tri/title",
+      TrigramIndex.TriConfig(numBuckets = 2, saltThreshold = 100, shardSize = 64))
+    NumericIndex.build(spark, first, "doc_id", "n", idx, numBuckets = 2)
+    assert(Ingest.registeredCols(spark, idx) == ((Seq("title"), Seq("n"))))
+
+    // refresh with new files: word AND per-column indexes advance together
+    writeFile("b.json", Seq(("gamma body", "third doc", 7)))
+    assert(Ingest.refreshJson(spark, idx, data, "content", cfg) == ((1, 1L)))
+    val triD = QueryParser.triDir(idx, "title")
+    assert(TrigramIndex.coveredMaxDocId(spark, triD).contains(2L))
+    assert(NumericIndex.stats(spark, idx, "n").get.max_doc_id == 2L)
+    // the new doc is findable through BOTH refreshed per-column indexes
+    val hit = TrigramIndex.searchCandidates(spark, triD, "third")
+      .as[Long].collect().toSeq
+    assert(hit == Seq(2L))
+    assert(NumericIndex.point(spark, idx, "n", 7L).as[Long].collect().toSeq == Seq(2L))
+
+    // repeated refreshes: per-column generation count stays policy-bounded
+    for (i <- 2 to 7) {
+      writeFile(s"f$i.json", Seq((s"body$i", s"extra doc$i", 10 + i)))
+      Ingest.refreshJson(spark, idx, data, "content", cfg)
+      assert(TrigramIndex.generations(spark, triD).size <= cfg.maxGenerations + 1,
+        s"after refresh $i")
+      assert(NumericIndex.generations(spark, idx, "n").size <= cfg.maxGenerations + 1)
+    }
+    // everything ingested across all refreshes is still exactly indexed
+    for (i <- 2 to 7) {
+      assert(TrigramIndex.searchCandidates(spark, triD, s"doc$i").count() == 1L)
+      assert(NumericIndex.point(spark, idx, "n", 10L + i).count() == 1L)
+    }
+  }
+
+  test("STREAMING ingest maintains registered per-column indexes per epoch") {
+    val data = tmpDir("colref_sdata")
+    val idx = tmpDir("colref_sidx")
+    val ckpt = tmpDir("colref_sckpt")
+    val cfg = IndexBuild.BuildConfig(numBatches = 1, numBuckets = 2,
+      saltThreshold = 100, shardSize = 64)
+    def writeFile(name: String, rows: Seq[(String, String, Int)]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$data/$name"),
+        rows.map { case (c, t, n) =>
+          s"""{"content": "$c", "title": "$t", "n": $n}"""
+        }.mkString("\n").getBytes("UTF-8"))
+    writeFile("s0.json", Seq(("alpha body", "streamed first", 3)))
+    // register BEFORE any stream so gen 0 covers the (empty) start
+    val empty = Ingest.withDocIds(
+      spark.read.json(s"$data/s0.json").select($"title", $"n").limit(0), "doc_id", 0L)
+    TrigramIndex.build(spark, empty, "doc_id", "title", s"$idx/tri/title",
+      TrigramIndex.TriConfig(numBuckets = 2, saltThreshold = 100, shardSize = 64))
+    NumericIndex.build(spark, empty, "doc_id", "n", idx, numBuckets = 2)
+
+    Ingest.streamJson(spark, idx, data, "content", ckpt, cfg)
+    writeFile("s1.json", Seq(("beta body", "streamed second", 4)))
+    Ingest.streamJson(spark, idx, data, "content", ckpt, cfg)
+
+    val triD = QueryParser.triDir(idx, "title")
+    assert(TrigramIndex.coveredMaxDocId(spark, triD).contains(1L))
+    assert(TrigramIndex.searchCandidates(spark, triD, "second")
+      .as[Long].collect().toSeq == Seq(1L))
+    assert(NumericIndex.point(spark, idx, "n", 4L).as[Long].collect().toSeq == Seq(1L))
+    // the word index advanced in lockstep
+    assert(new vfsidx.query.Bm25Index(spark, idx).topKOr("beta", 5).count() == 1)
+  }
+}

@@ -337,8 +337,9 @@ class IncrementalSpec extends SparkTestBase {
     rmrf(new java.io.File(Ingest.catalogDir(idx)))
     spark.read.parquet(s"$idx/cat_tmp").write.parquet(Ingest.catalogDir(idx))
     // the intent stores the same fully-qualified form the catalog uses
+    // (v2 layout: version, slot, base, per-column slots, files)
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$idx/refresh_intent"),
-      s"1\n2\nfile:$data/b.json".getBytes("UTF-8"))
+      s"v2\n1\n2\n-\nfile:$data/b.json".getBytes("UTF-8"))
     // re-run: recovery must re-derive slot 1 / base 2, hit the _SUCCESS
     // gates (no duplicate ingest), and complete the catalog append; the
     // run itself then finds nothing new

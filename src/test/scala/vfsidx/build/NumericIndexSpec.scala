@@ -68,23 +68,27 @@ class NumericIndexSpec extends SparkTestBase {
     assert(strict == intDf.filter($"y" > 5).count())
   }
 
-  test("ABSENT stats (crash-resumed build) widen the walk — never silently strict") {
-    // simulate data committed but stats not yet: results must still be a
-    // SUPERSET on a fractional column (queryIndexed's recheck restores
-    // exactness); strict-by-default would silently drop boundary rows
+  test("ABSENT stats (crash-resumed build) hide the generation — never a silently strict walk") {
+    // a generation is committed only when BOTH its data and stats tables
+    // carry _SUCCESS, so the crash window between the two commits leaves
+    // the generation invisible: stats() is None, queryIndexed treats the
+    // column as unindexed (exact scan fallback), and the resumed build
+    // completes just the missing stats table
     val d = tmpDir("numidx_nostats")
     NumericIndex.build(spark, df, "doc_id", "x", d)
-    val statsPath = new java.io.File(NumericIndex.statsDir(d, "x"))
+    val statsPath = new java.io.File(NumericIndex.statsGenDir(d, "x", 0, 0))
     def rmrf(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rmrf); f.delete()
     }
     rmrf(statsPath)
     assert(NumericIndex.stats(spark, d, "x").isEmpty)
-    val got = NumericIndex.range(spark, d, "x", Some(44L), None,
-      loInclusive = false).select($"doc_id").as[Long].collect().toSet
-    val mustInclude = df.filter($"x" > 44).select($"doc_id").as[Long].collect().toSet
-    assert(mustInclude.subsetOf(got), s"missing: ${mustInclude -- got}")
-    // and once stats appear (resumed build), they are picked up (None not cached)
+    assert(!NumericIndex.exists(spark, d, "x"))
+    val a = QueryParser.queryIndexed(spark, df, "doc_id", d, "x > 44")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val b = QueryParser.query(df, "x > 44")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+    // the resumed build completes the generation (data table untouched)
     NumericIndex.build(spark, df, "doc_id", "x", d)
     assert(NumericIndex.stats(spark, d, "x").nonEmpty)
   }
