@@ -168,6 +168,30 @@ object FullText {
         coalesce(sum($"count"), lit(0)).cast("long").as("n"))
   }
 
+  /** Index-backed Count/First/Last over a COMPOSED (conjunctive) condition
+    * — the reference's terminal verbs on any SearchCond
+    * (/root/reference/search_finder.go:325-371): posting-list intersection
+    * with rarest-term block skipping, then count/min/max over the
+    * intersection. Only pruned segment rows are decoded; the documents
+    * table is never scanned (PLANS.md carries the audit). */
+  val CountAndQuery = "merge query"
+  def countFirstLastAnd(s: SparkSession, dir: String): DataFrame =
+    index(s, dir).countFirstLastAnd(CountAndQuery)
+
+  /** Parenthesized groups in the query language (round-4 grammar
+    * extension): the expression normalizes to DNF, each conjunct group
+    * resolves candidates through the indexes, groups union, predicates
+    * re-apply (divergence: the reference grammar has neither `\|\|` nor
+    * parens, /root/reference/expr/expr.peg:8-32). */
+  val QueryParenExpr = """text.search("merge") && (n_chars < 250 || n_chars >= 900)"""
+  def queryParen(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = indexRoot(s, dir)
+    QueryParser.queryIndexed(s, docs(s, dir), "doc_id", root, QueryParenExpr)
+      .select($"doc_id", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
   /** Query-language `||` extension: union of conjunct-group candidate sets
     * from the indexes, every predicate re-applied (divergence: the reference
     * grammar has no OR, /root/reference/expr/expr.peg:8-32). */
@@ -215,6 +239,8 @@ object FullText {
     "ft_first_last" -> (firstLast _),
     "ft_query_or" -> (queryOr _),
     "ft_query_strrange" -> (queryStrRange _),
+    "ft_query_paren" -> (queryParen _),
+    "ft_count_and" -> (countFirstLastAnd _),
     "ft_cross_column" -> (crossColumn _))
 
   private val bm25OracleFmt =
@@ -280,6 +306,16 @@ object FullText {
       """SELECT doc_id, lang FROM documents
         |WHERE lang >= 'e' AND lang < 'g' AND contains(text, 'merge')
         |ORDER BY doc_id""".stripMargin,
+    "ft_query_paren" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE contains(text, 'merge') AND (n_chars < 250 OR n_chars >= 900)
+        |ORDER BY doc_id""".stripMargin,
+    "ft_count_and" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n, min(doc_id) AS first_id,
+         |  max(doc_id) AS last_id
+         |FROM documents
+         |WHERE list_contains(string_split(text, ' '), 'merge')
+         |  AND list_contains(string_split(text, ' '), 'query')""".stripMargin,
     "ft_cross_column" ->
       s"""SELECT doc_id, n_chars FROM documents
          |WHERE list_contains(string_split(text, ' '), '$CountTerm')

@@ -51,22 +51,23 @@ object Main {
     * `--ouput=json`) must not be silently ignored, and the error names the
     * token so a needle that genuinely starts with `--` is at least loud
     * (quote-free CLI parsing can't distinguish the two). */
-  private val knownFlags = Set("output", "index")
+  private val knownFlags = Set("output", "index", "id")
 
   def run(spark: SparkSession, allArgs: Array[String]): Unit = {
     val output = flag(allArgs, "output").getOrElse("plain")
     val indexRoot = flag(allArgs, "index")
+    val idCol = flag(allArgs, "id")
     val isKnown = (s: String) => knownFlags.exists(k => s.startsWith(s"--$k="))
     allArgs.find(a => a.startsWith("--") && !isKnown(a)).foreach { bad =>
-      System.err.println(s"unknown flag: $bad (recognized: --output=json|csv, --index=<root>)")
+      System.err.println(s"unknown flag: $bad (recognized: --output=json|csv, --index=<root>, --id=<col>)")
       sys.exit(2)
     }
     val args = allArgs.filterNot(isKnown)
-    dispatch(spark, args, output, indexRoot)
+    dispatch(spark, args, output, indexRoot, idCol)
   }
 
   def dispatch(spark: SparkSession, args: Array[String], output: String,
-               indexRoot: Option[String]): Unit = args.toList match {
+               indexRoot: Option[String], idFlag: Option[String] = None): Unit = args.toList match {
     case "build" :: dir :: rest =>
       val n = rest.headOption.map(_.toLong).getOrElse(10000L)
       val t0 = System.nanoTime()
@@ -130,8 +131,17 @@ object Main {
       val t0 = System.nanoTime()
       val res = indexRoot match {
         case Some(root) =>
-          // primary key column heuristic: doc_id if present, else first col
-          val idCol = if (df.columns.contains("doc_id")) "doc_id" else df.columns.head
+          // the id column binds result rows to index candidates — it must
+          // be explicit (--id=<col>) or the conventional doc_id; guessing
+          // (e.g. columns.head) would silently join on the wrong column
+          val idCol = idFlag.orElse(
+            if (df.columns.contains("doc_id")) Some("doc_id") else None)
+            .getOrElse(throw new IllegalArgumentException(
+              s"query --index needs an id column: table $table has no doc_id " +
+                "column; pass --id=<col> (the column regist keyed the indexes on)"))
+          if (!df.columns.contains(idCol))
+            throw new IllegalArgumentException(
+              s"--id=$idCol: no such column in $table (has: ${df.columns.mkString(", ")})")
           vfsidx.query.QueryParser.queryIndexed(spark, df, idCol, root, expr)
         case None => vfsidx.query.QueryParser.query(df, expr)
       }
@@ -143,7 +153,7 @@ object Main {
         rows.foreach(r => println("  " + r.mkString(" | ").take(120)))
       } else vfsidx.query.ResultEncoder.emit(res, output)
     case _ =>
-      System.err.println("usage: build <dir> [nDocs] | search <dir> <query...> | searchand <dir> <query...> | regist <table> <root> <idCol> <strCols> <numCols> | indexjson <dir> <dataDir> [contentField] | compact <dir> [full] | nears <root> <col> <needle...> | query <table> <expr> [--index=<root>] [--output=json|csv]")
+      System.err.println("usage: build <dir> [nDocs] | search <dir> <query...> | searchand <dir> <query...> | regist <table> <root> <idCol> <strCols> <numCols> | indexjson <dir> <dataDir> [contentField] | compact <dir> [full] | nears <root> <col> <needle...> | query <table> <expr> [--index=<root>] [--id=<col>] [--output=json|csv]")
       sys.exit(2)
   }
 }

@@ -42,8 +42,19 @@ final case class Hit(doc_id: Long, score: Double)
   * summation order (non-associative doubles) cannot flip a tie between engine
   * and oracle.
   */
-class Bm25Index(spark: SparkSession, dir: String) {
+class Bm25Index(spark: SparkSession, dir: String,
+                mergeOnSearch: Option[IndexBuild.BuildConfig] = None) {
   import spark.implicits._
+
+  // MERGE-ON-SEARCH (the reference's query-time merge trigger,
+  // /root/reference/search_cond.go:828-837): a query-heavy, refresh-light
+  // deployment bounds its generation count here — one bounded tiered fold
+  // when the survivors exceed the config's maxGenerations, reclaim deferred
+  // (concurrent readers keep their files; the next maintenance pass vacuums).
+  mergeOnSearch.foreach { cfg =>
+    if (IndexBuild.generations(spark, dir).size > cfg.maxGenerations)
+      IndexBuild.compactTiered(spark, dir, cfg, reclaim = false)
+  }
 
   lazy val segments: Dataset[SegmentRow] =
     IndexBuild.readSegments(spark, dir).as[SegmentRow]
@@ -247,6 +258,36 @@ class Bm25Index(spark: SparkSession, dir: String) {
       .flatMap(s => s.block_first.zip(s.block_last))
       .collect())
     rank(contributions(terms, idfs, Some(ranges), rarest), k, Some(terms.size))
+  }
+
+  /** Index-backed terminal verbs over a COMPOSED (conjunctive) condition —
+    * the reference's Count/First/Last on any SearchCond
+    * (/root/reference/search_finder.go:325-371): intersect the terms'
+    * posting lists (rarest-term block skipping, HAVING-all semantics) and
+    * aggregate count/min/max over the intersection in one job. The corpus
+    * table is never touched — only pruned segment rows are decoded. One
+    * result row (n, first_id, last_id); n=0 with null ids when nothing
+    * matches (single-term input degenerates to the A1/W2 metadata-only
+    * path's semantics, computed the same way). */
+  def countFirstLastAnd(query: String): DataFrame = {
+    val terms = Tokenizer.codeTokens(query).distinct
+    def empty = Seq((0L, Option.empty[Long], Option.empty[Long]))
+      .toDF("n", "first_id", "last_id")
+    if (terms.isEmpty) return empty
+    val stats = termStats(terms)
+    if (stats.size < terms.size) return empty  // a term absent -> AND empty
+    val dfs = stats.map { case (t, (df, _)) => t -> df }
+    val rarest = terms.minBy(dfs)
+    val ranges = Bm25Index.coalesce(segments.filter($"term" === rarest)
+      .flatMap(s => s.block_first.zip(s.block_last)).collect())
+    val noScores = terms.map(_ -> 0.0).toMap   // scores unused by the verbs
+    val n = terms.size
+    contributions(terms, noScores, Some(ranges), rarest)
+      .toDF("term", "doc_id", "c")
+      .groupBy($"doc_id").agg(countDistinct($"term").as("nt"))
+      .filter($"nt" === n)
+      .agg(count(lit(1)).as("n"), min($"doc_id").as("first_id"),
+        max($"doc_id").as("last_id"))
   }
 }
 

@@ -27,10 +27,11 @@ import vfsidx.tokenize.Tokenizer
   *    column (documented divergence: the reference orders by trigram KEY
   *    value, /root/reference/search_cond.go:793-822 — near-meaningless to a
   *    user; we take the SQL meaning).
-  *  - `&&` conjunction per the reference grammar, plus top-level `||`
-  *    disjunction of conjunct groups (an extension the reference grammar
-  *    lacks, /root/reference/expr/expr.peg:8-32 — documented divergence;
-  *    `&&` binds tighter than `||`, no parentheses).
+  *  - `&&` conjunction per the reference grammar, plus `||` disjunction and
+  *    parenthesized groups (extensions the reference grammar lacks,
+  *    /root/reference/expr/expr.peg:8-32 — documented divergence; `&&`
+  *    binds tighter than `||`, parentheses compose; expressions normalize
+  *    to DNF so the indexed dispatch stays per-conjunct-group).
   */
 object QueryParser {
 
@@ -44,33 +45,108 @@ object QueryParser {
   private def unescape(s: String): String =
     s.replace("\\\"", "\"").replace("\\\\", "\\")
 
-  /** Split on a top-level two-char operator ("&&" or "||"), quotes respected. */
-  private def splitTop(q: String, op: Char): Seq[String] = {
-    val parts = Seq.newBuilder[String]
-    val cur = new StringBuilder
-    var inStr = false
-    var i = 0
-    while (i < q.length) {
-      val c = q.charAt(i)
-      if (c == '"' && (i == 0 || q.charAt(i - 1) != '\\')) { inStr = !inStr; cur += c }
-      else if (!inStr && c == op && i + 1 < q.length && q.charAt(i + 1) == op) {
-        parts += cur.toString; cur.clear(); i += 1
-      } else cur += c
-      i += 1
-    }
-    parts += cur.toString
-    parts.result()
-  }
-
-  private def parseAnd(part: String): Seq[Expr] = splitTop(part, '&').map {
+  private def parseAtom(part: String): Expr = part match {
     case searchRe(col, s) => Search(col, unescape(s))
     case cmpRe(col, op, str, num) =>
       Cmp(col, op, if (str != null) Right(unescape(str)) else Left(num.toLong))
     case other => throw new IllegalArgumentException(s"cannot parse query term: '$other'")
   }
 
-  /** OR-of-ANDs: `a && b || c` parses to Seq(Seq(a, b), Seq(c)). */
-  def parseQuery(q: String): Seq[Seq[Expr]] = splitTop(q, '|').map(parseAnd)
+  // ---- lexer + recursive-descent parser --------------------------------
+  // grammar:  orExpr  := andExpr ('||' andExpr)*
+  //           andExpr := unit   ('&&' unit)*
+  //           unit    := '(' orExpr ')' | atom
+  // A '(' where an EXPRESSION is expected opens a group; inside an atom,
+  // parens (the `.search(...)` call) and quoted strings are tracked so the
+  // lexer never splits within them.
+  private sealed trait Tok
+  private case object LPar extends Tok
+  private case object RPar extends Tok
+  private case object AndOp extends Tok
+  private case object OrOp extends Tok
+  private final case class Atom(s: String) extends Tok
+
+  private def lex(q: String): Seq[Tok] = {
+    val toks = Seq.newBuilder[Tok]
+    var i = 0
+    var expectExpr = true
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (expectExpr && c == '(') { toks += LPar; i += 1 }
+      else if (!expectExpr && c == ')') { toks += RPar; i += 1 }
+      else if (!expectExpr && c == '&' && i + 1 < q.length && q.charAt(i + 1) == '&') {
+        toks += AndOp; expectExpr = true; i += 2
+      } else if (!expectExpr && c == '|' && i + 1 < q.length && q.charAt(i + 1) == '|') {
+        toks += OrOp; expectExpr = true; i += 2
+      } else if (expectExpr) {
+        val start = i
+        var depth = 0
+        var inStr = false
+        var done = false
+        while (i < q.length && !done) {
+          val ch = q.charAt(i)
+          if (inStr) {
+            if (ch == '\\' && i + 1 < q.length) i += 2
+            else { if (ch == '"') inStr = false; i += 1 }
+          } else ch match {
+            case '"' => inStr = true; i += 1
+            case '(' => depth += 1; i += 1
+            case ')' if depth > 0 => depth -= 1; i += 1
+            case ')' => done = true
+            case '&' if depth == 0 && i + 1 < q.length && q.charAt(i + 1) == '&' => done = true
+            case '|' if depth == 0 && i + 1 < q.length && q.charAt(i + 1) == '|' => done = true
+            case _ => i += 1
+          }
+        }
+        toks += Atom(q.substring(start, i).trim)
+        expectExpr = false
+      } else throw new IllegalArgumentException(
+        s"unexpected '$c' at position $i in query: $q")
+    }
+    toks.result()
+  }
+
+  /** OR-of-ANDs in DISJUNCTIVE NORMAL FORM: `a && b || c` parses to
+    * Seq(Seq(a, b), Seq(c)); parenthesized groups distribute —
+    * `a && (b || c)` becomes Seq(Seq(a, b), Seq(a, c)) — so the indexed
+    * dispatch's per-group candidate machinery applies unchanged. Both `||`
+    * and parentheses are documented extensions over the reference grammar
+    * (pure conjunctions only, /root/reference/expr/expr.peg:8-32); query
+    * expressions are tiny, so the DNF blowup is bounded in practice. */
+  def parseQuery(q: String): Seq[Seq[Expr]] = {
+    val toks = lex(q)
+    var pos = 0
+    def peek: Option[Tok] = if (pos < toks.size) Some(toks(pos)) else None
+    def orExpr(): Seq[Seq[Expr]] = {
+      var acc = andExpr()
+      while (peek.contains(OrOp)) { pos += 1; acc = acc ++ andExpr() }
+      acc
+    }
+    def andExpr(): Seq[Seq[Expr]] = {
+      var acc = unit()
+      while (peek.contains(AndOp)) {
+        pos += 1
+        val r = unit()
+        acc = for (a <- acc; b <- r) yield a ++ b   // distribute && over ||
+      }
+      acc
+    }
+    def unit(): Seq[Seq[Expr]] = peek match {
+      case Some(LPar) =>
+        pos += 1
+        val r = orExpr()
+        require(peek.contains(RPar), s"unbalanced '(' in query: $q")
+        pos += 1
+        r
+      case Some(Atom(s)) => pos += 1; Seq(Seq(parseAtom(s)))
+      case other => throw new IllegalArgumentException(
+        s"expected an expression, got $other in query: $q")
+    }
+    val r = orExpr()
+    require(pos == toks.size, s"trailing tokens after position $pos in query: $q")
+    r
+  }
 
   /** Single conjunction (the reference's exact grammar) — most callers. */
   def parse(q: String): Seq[Expr] = {

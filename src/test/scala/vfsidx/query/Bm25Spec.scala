@@ -129,6 +129,48 @@ class Bm25Spec extends SparkTestBase {
     assert(!Bm25Index.overlaps(disjoint, 6L, 9L))
   }
 
+  test("index-backed Count/First/Last over a composed AND condition (no corpus access)") {
+    import org.apache.spark.sql.functions._
+    def oracle(terms: Seq[String]): (Long, Option[Long], Option[Long]) = {
+      val m = docs.toDF()
+        .filter(terms.map(t => array_contains(split($"content", "\\s+"), t)).reduce(_ && _))
+        .agg(count(lit(1)), min($"doc_id"), max($"doc_id")).head()
+      (m.getLong(0),
+        if (m.isNullAt(1)) None else Some(m.getLong(1)),
+        if (m.isNullAt(2)) None else Some(m.getLong(2)))
+    }
+    for (q <- Seq("index merge", "the int val", "needle_17 doc", "index")) {
+      val r = index.countFirstLastAnd(q).head()
+      val got = (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))
+      assert(got == oracle(q.split(' ').toSeq), s"query: $q")
+    }
+    // absent term -> (0, null, null)
+    val e = index.countFirstLastAnd("the zzqqxxyy_absent").head()
+    assert(e.getLong(0) == 0L && e.isNullAt(1) && e.isNullAt(2))
+  }
+
+  test("merge-on-search: many-generation index folds at query time, results identical") {
+    val d = tmpDir("bm25_mos")
+    val cfg = IndexBuild.BuildConfig(numBatches = 1, numBuckets = 4,
+      saltThreshold = 300, shardSize = 256, maxGenerations = 2)
+    IndexBuild.build(spark, docs.filter($"doc_id" < 600), d, cfg)
+    for (b <- 1 to 4) {
+      val slice = docs.filter($"doc_id" >= 500 + b * 100 && $"doc_id" < 600 + b * 100)
+        .as[vfsidx.corpus.SourceFile]
+      IndexBuild.ingestBatch(spark, slice, d, b, cfg)
+    }
+    assert(IndexBuild.generations(spark, d).size == 5)
+    val before = rows(new Bm25Index(spark, d).topKOr("index merge search", 10))
+    // opening with the merge-on-search config folds the tail at query time
+    val mos = new Bm25Index(spark, d, mergeOnSearch = Some(cfg))
+    assert(IndexBuild.generations(spark, d).size < 5)
+    assert(rows(mos.topKOr("index merge search", 10)) == before)
+    // retired inputs were NOT reclaimed (concurrent readers keep files)
+    assert(IndexBuild.vacuum(spark, d) > 0)
+  }
+
   test("dictionary df equals distinct docs per term") {
     val dict = index.dictionary
     val fromRuns = Oracle.postings(docs).groupBy($"term").count()

@@ -63,6 +63,25 @@ class QueryParserSpec extends SparkTestBase {
       df.filter($"title" > "警視庁").count())
   }
 
+  test("parenthesized groups compose and normalize to DNF") {
+    // a && (b || c) distributes: two conjunct groups sharing `a`
+    assert(parseQuery("""title.search("戦") && (id < 100 || id > 100000)""") ==
+      Seq(Seq(Search("title", "戦"), Cmp("id", "<", Left(100L))),
+        Seq(Search("title", "戦"), Cmp("id", ">", Left(100000L)))))
+    val r = query(df, """content.search("日本の") && (id == 132763 || id == 3365460)""")
+      .select($"id").as[Long].collect().sorted
+    assert(r.toSeq == Seq(132763L, 3365460L))
+    // nesting
+    assert(query(df, """(id > 0 && (id < 10 || id > 3000000))""").count() == 2)
+    // (a || b) && (c || d) -> 4 groups
+    assert(parseQuery("(id == 1 || id == 2) && (id == 3 || id == 4)").size == 4)
+    // parens inside quoted strings and the .search(...) call are atom text
+    assert(parse("""title == "(x||y)"""") == Seq(Cmp("title", "==", Right("(x||y)"))))
+    // unbalanced parens are loud
+    intercept[IllegalArgumentException](parseQuery("(id > 1 && id < 5"))
+    intercept[IllegalArgumentException](parseQuery("id > 1) && id < 5"))
+  }
+
   test("top-level || is an OR of conjunct groups (&& binds tighter)") {
     val r = query(df, """title.search("鬼滅の") && id == 132763 || id < 10000""")
       .select($"id").as[Long].collect().sorted
