@@ -80,11 +80,36 @@ object Bench {
     val idx2 = new vfsidx.query.Bm25Index(spark, idxDir)
     results("vfs_bm25_or_2gen") = best { idx2.topKOr("index merge search query", 10).collect() }
 
+    // tiered compaction cost: three more small generations (untimed) push
+    // the count past the policy bound, then ONE tiered fold runs — its cost
+    // tracks the folded tier (~5% of the corpus here), never the base
+    {
+      val cfg = vfsidx.build.IndexBuild.BuildConfig(
+        numBatches = 4, numBuckets = cpus.toInt,
+        saltThreshold = buildDocs / 10, shardSize = 4096)
+      val more = vfsidx.corpus.Synth.corpus(spark, buildDocs + 2 * extraN, cpus.toInt)
+      val sliceN = extraN / 3
+      for (b <- 5 to 7) {
+        val lo = buildDocs + extraN + (b - 5) * sliceN
+        val hi = if (b == 7) buildDocs + 2 * extraN else lo + sliceN
+        val slice = {
+          import spark.implicits._
+          more.filter(org.apache.spark.sql.functions.col("doc_id").between(lo, hi - 1))
+            .as[vfsidx.corpus.SourceFile]
+        }
+        vfsidx.build.IndexBuild.ingestBatch(spark, slice, idxDir, b, cfg)
+      }
+      results("vfs_compact_tiered") = time {
+        vfsidx.build.IndexBuild.compactTiered(spark, idxDir, cfg)
+      }
+    }
+
     // --- operator headliners on the driver's sf tables ---
     val headliners = Seq(
       "q1_agg", "q4_join_multi", "q9_window", "q13_sessionize",
       "ft_bm25_topk", "ft_trigram_search", "ft_query_lang", "ft_query_or",
-      "ft_nears", "num_index_range", "ft_count_term",
+      "ft_query_paren", "ft_nears", "num_index_range", "ft_count_term",
+      "ft_count_and",
       "dedup_minhash_lsh", "dedup_simhash", "ann_cosine_topk",
       "text_quality", "stream_window_agg")
     // warm the documents-table index set (word + trigram + numeric) outside timing
