@@ -26,7 +26,13 @@ final case class TriDictRow(key: Long, df: Long)
   * measure for tiered compaction), `max_doc_id` the highest id it has seen
   * (the staleness watermark consulted by QueryParser.queryIndexed: a table
   * whose max id exceeds every generation's watermark has rows the index
-  * never saw, so the index must not be used). -1 for an empty build. */
+  * never saw, so the index must not be used). -1 for an empty build.
+  *
+  * MIGRATION NOTE: stats became part of a generation's commit set in round
+  * 4 — a generation persisted by an earlier build (segments + dict only) no
+  * longer lists as committed and must be rebuilt (or re-ingested); the
+  * strict gate is deliberate, since a stats-less generation cannot answer
+  * the staleness watermark and would reopen the silent-stale-index hole. */
 final case class TriStats(n_rows: Long, max_doc_id: Long)
 
 /** Persisted trigram (substring) index — the reference's core capability:

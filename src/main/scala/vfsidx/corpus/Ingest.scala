@@ -60,21 +60,19 @@ object Ingest {
     * and all downstream consumers then parse the source exactly once. */
   def withDocIds(df: DataFrame, idCol: String, idOffset: Long): DataFrame = {
     val spark = df.sparkSession
-    import spark.implicits._
-    val counts = df.select(lit(1).as("one")).as[Int].mapPartitions { it =>
-      Iterator.single((org.apache.spark.TaskContext.getPartitionId(), it.size.toLong))
-    }.collect().sortBy(_._1).map(_._2)
-    val offsets = counts.scanLeft(idOffset)(_ + _)
-    val bc = spark.sparkContext.broadcast(offsets)
+    // BOTH passes (zipWithIndex's internal count job, then the id map) run
+    // over this ONE compiled RDD, so their partitioning is identical by
+    // construction — even for inputs whose SQL plan contains a shuffle that
+    // AQE could re-coalesce differently across separate DataFrame jobs.
+    // (One of the few justified RDD drops: a deterministic global
+    // enumeration is per-partition imperative logic.)
+    val withIdx = df.rdd.zipWithIndex()
     val outSchema = df.schema.add(idCol, org.apache.spark.sql.types.LongType,
       nullable = false)
-    df.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      val base = bc.value(pid)
-      it.zipWithIndex.map { case (r, j) =>
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (base + j))
-      }
-    }(org.apache.spark.sql.Encoders.row(outSchema))
+    spark.createDataFrame(
+      withIdx.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (idOffset + i))
+      }, outSchema)
   }
 
   /** JSON or JSONL directory/file (the reference's primary format, S1). */
@@ -193,7 +191,7 @@ object Ingest {
       * docs, and the per-column rewrites would stamp the replayed rows with
       * shifted ids. The recorded base makes the recomputed id assignment
       * byte-identical to the original attempt. */
-    def slotFor(epochId: Long, freshBase: => Long): (Int, Map[String, Int], Long) = {
+    def slotFor(epochId: Long, freshBase: => Long): (Int, Map[String, Int], Option[Long]) = {
       val slotsDir = new org.apache.hadoop.fs.Path(checkpointDir, "graft_slots")
       val f = new org.apache.hadoop.fs.Path(slotsDir, s"epoch-$epochId")
       if (hfs.exists(f)) {
@@ -206,8 +204,13 @@ object Ingest {
           else lines(1).trim.split(',').map { kv =>
             val Array(k, v) = kv.split('='); k -> v.toInt
           }.toMap
+        // a pre-upgrade (v1) epoch file has no recorded base: the word
+        // ingest is still replay-safe (_SUCCESS gates skip before ids
+        // matter), but per-column ingest MUST NOT run — a freshly-derived
+        // base could be shifted if the word ingest already committed.
+        // Signalled by base = None.
         (lines.head.trim.toInt, colSlots,
-          if (lines.size < 3) freshBase else lines(2).trim.toLong)
+          if (lines.size < 3) Option.empty[Long] else Some(lines(2).trim.toLong))
       } else {
         val slot = IndexBuild.maxRunsBatch(spark, indexDir) + 1
         // RESERVE every slot in the index itself (create the marker dirs)
@@ -230,7 +233,7 @@ object Ingest {
         val out = hfs.create(tmp, true)
         try out.write(s"$slot\n$slotLine\n$base".getBytes("UTF-8")) finally out.close()
         require(hfs.rename(tmp, f), s"rename $tmp -> $f failed")
-        (slot, colSlots, base)
+        (slot, colSlots, Some(base))
       }
     }
     val stream = spark.readStream.schema(schema)
@@ -254,20 +257,31 @@ object Ingest {
         // ids continue after the persisted corpus (docCount reads only
         // COMMITTED doc_stats partitions); on replay the RECORDED base
         // wins — see slotFor's Scaladoc
-        val (slot, colSlots, base) =
+        val (slot, colSlots, baseOpt) =
           slotFor(epochId, IndexBuild.docCount(spark, indexDir))
-        val rawIds = withDocIds(df.select(needed.map(col): _*), IdCol, base)
+        val base = baseOpt.getOrElse(IndexBuild.docCount(spark, indexDir))
+        // persist UNDER the id stamping: one micro-batch parse, consumers
+        // re-run only the cached-scan + id map (see refresh ingestFiles)
+        val rawCached = df.select(needed.map(col): _*)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
+          val rawIds = withDocIds(rawCached, IdCol, base)
           val corpus = corpusFromIds(rawIds, contentCol, repo = s"stream/batch=$slot")
           IndexBuild.ingestBatch(spark, corpus, indexDir, slot, cfg)
           // size-tiered auto-fold: bounded work (one small window), never
           // spans a reserved slot, reclaim deferred to a later vacuum
           IndexBuild.compactTiered(spark, indexDir, cfg, reclaim = false)
-          // registered per-column indexes ride the same epoch/slot protocol
-          ingestColumns(spark, indexDir, rawIds, triCols, numCols, colSlots, cfg)
+          // registered per-column indexes ride the same epoch/slot protocol;
+          // a legacy (v1, base-less) replayed epoch skips them — its base
+          // cannot be trusted for a rewrite (word gates are id-safe)
+          if (baseOpt.isDefined)
+            ingestColumns(spark, indexDir, rawIds, triCols, numCols, colSlots, cfg)
+          else if (triCols.nonEmpty || numCols.nonEmpty)
+            System.err.println(s"vfsidx: epoch $epochId replayed from a " +
+              "pre-upgrade slot file (no recorded base) - per-column indexes " +
+              "skipped for this epoch; run regist to refresh them")
           ()
-        } finally rawIds.unpersist()
+        } finally rawCached.unpersist()
         }
       }
       .start()
@@ -409,14 +423,22 @@ object Ingest {
           try new String(in.readAllBytes(), "UTF-8").split("\n").toSeq
           finally in.close()
         scala.util.Try {
-          require(lines.head.trim == "v2")
-          val slots =
-            if (lines(3).trim == "-") Map.empty[String, Int]
-            else lines(3).trim.split(',').map { kv =>
-              val Array(k, v) = kv.split('='); k -> v.toInt
-            }.toMap
-          (lines(1).trim.toInt, lines(2).trim.toLong, slots,
-            lines.drop(4).filter(_.nonEmpty))
+          if (lines.head.trim == "v2") {
+            val slots =
+              if (lines(3).trim == "-") Map.empty[String, Int]
+              else lines(3).trim.split(',').map { kv =>
+                val Array(k, v) = kv.split('='); k -> v.toInt
+              }.toMap
+            (lines(1).trim.toInt, lines(2).trim.toLong, slots,
+              lines.drop(4).filter(_.nonEmpty))
+          } else {
+            // v1 layout (slot, base, files): recover with no recorded
+            // per-column slots — v1 refreshes never ingested per-column
+            // indexes, and the recorded base keeps any NEWLY-registered
+            // columns' fresh-slot ingest id-correct
+            (lines.head.trim.toInt, lines(1).trim.toLong,
+              Map.empty[String, Int], lines.drop(2).filter(_.nonEmpty))
+          }
         }.toOption.orElse(Some((0, 0L, Map.empty[String, Int], Seq.empty[String])))
       }
     def writeIntent(slot: Int, base: Long, colSlots: Map[String, Int],
@@ -448,13 +470,16 @@ object Ingest {
         s"ingested files lack column(s) ${missing.mkString(", ")} required by " +
           s"the content field or a registered per-column index (have: " +
           s"${raw.columns.mkString(", ")})")
-      // ONE id assignment feeds the corpus and every per-column index; the
-      // persist makes the source parse once (counting pass materializes the
-      // cache, every later consumer reads it) — reference M1's single
-      // tokenize pass over new files, /root/reference/column.go:139-176
-      val rawIds = withDocIds(raw.select(needed.map(col): _*), IdCol, base)
+      // ONE id assignment feeds the corpus and every per-column index. The
+      // persist sits UNDER the id stamping, so the JSON/CSV parse happens
+      // exactly once (zipWithIndex's count job materializes the cache) and
+      // every consumer — word tokenize, each per-column ingest, doc_stats —
+      // re-runs only the cheap cached-scan + id map. Reference M1's single
+      // tokenize pass over new files, /root/reference/column.go:139-176.
+      val rawCached = raw.select(needed.map(col): _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
+        val rawIds = withDocIds(rawCached, IdCol, base)
         val nNew = rawIds.count()
         val corpus = corpusFromIds(rawIds, contentCol, repo = s"refresh/batch=$slot")
         if (initial) IndexBuild.build(spark, corpus, indexDir, cfg.copy(numBatches = 1))
@@ -474,7 +499,7 @@ object Ingest {
           fls.map(f => CatalogRow(f, slot, nNew, base)).toSeq.toDF(),
           catalogDir(indexDir))
         nNew
-      } finally rawIds.unpersist()
+      } finally rawCached.unpersist()
     }
 
     // ---- recovery: finish a crashed refresh before planning a new one ----

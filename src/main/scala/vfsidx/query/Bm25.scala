@@ -49,12 +49,10 @@ class Bm25Index(spark: SparkSession, dir: String,
   // MERGE-ON-SEARCH (the reference's query-time merge trigger,
   // /root/reference/search_cond.go:828-837): a query-heavy, refresh-light
   // deployment bounds its generation count here — one bounded tiered fold
-  // when the survivors exceed the config's maxGenerations, reclaim deferred
-  // (concurrent readers keep their files; the next maintenance pass vacuums).
-  mergeOnSearch.foreach { cfg =>
-    if (IndexBuild.generations(spark, dir).size > cfg.maxGenerations)
-      IndexBuild.compactTiered(spark, dir, cfg, reclaim = false)
-  }
+  // when the survivors exceed the config's maxGenerations (compactTiered
+  // no-ops below that), reclaim deferred (concurrent readers keep their
+  // files; the next maintenance pass vacuums).
+  mergeOnSearch.foreach(cfg => IndexBuild.compactTiered(spark, dir, cfg, reclaim = false))
 
   lazy val segments: Dataset[SegmentRow] =
     IndexBuild.readSegments(spark, dir).as[SegmentRow]

@@ -209,10 +209,12 @@ object QueryParser {
     * (/root/reference/column.go:167-176): each index compares its
     * persisted max-doc-id watermark to the table and seals ONLY the new
     * rows (id above the watermark) as a fresh generation — O(new data) —
-    * then folds via the tiered policy when generations accumulate. Requires
-    * ids of appended rows to be increasing (the engine's dense-id ingest
-    * guarantees it); a table violating that is caught by the staleness
-    * guard in [[queryIndexed]], which compares the same watermark.
+    * then folds via the tiered policy when generations accumulate. The
+    * REFRESH requires ids of appended rows to be increasing (the engine's
+    * dense-id ingest guarantees it); a table violating that — e.g. an
+    * append filling an id gap below the watermark — is not refreshed here,
+    * but IS caught by [[queryIndexed]]'s staleness guard, whose row-count
+    * comparison sees any append regardless of id order (scan fallback).
     * Crash-safe without a WAL: `newRows` is recomputed from the committed
     * watermark each attempt and the ingest overwrites the (uncommitted)
     * slot it re-derives. */
@@ -221,31 +223,41 @@ object QueryParser {
                    triCfg: TrigramIndex.TriConfig = TrigramIndex.TriConfig()): Unit = {
     strCols.foreach { c =>
       val dir = triDir(root, c)
+      // reclaim what the PREVIOUS regist's compaction retired (grace period
+      // = one regist cycle, same pattern as the refresh driver)
+      TrigramIndex.vacuum(spark, dir)
       TrigramIndex.coveredMaxDocId(spark, dir) match {
         case None => TrigramIndex.build(spark, df, idCol, c, dir, triCfg)
         case Some(covered) =>
           val newRows = df.filter(col(idCol).cast("long") > covered)
           if (!newRows.isEmpty) {
-            // slot past every committed generation; a crashed attempt's
-            // partial slot is re-derived and overwritten (see Scaladoc)
-            val slot = TrigramIndex.generations(spark, dir).map(_._2).max + 1
+            // slot past everything PRESENT (committed, partial, or merely
+            // reserved by a crashed stream epoch/refresh — maxBatch sees
+            // reserved dirs, so this can never collide with a slot a
+            // replay will later complete); a crashed regist attempt's own
+            // partial slot is simply orphaned (a permanent coverage gap —
+            // folds split around it, correctness unaffected)
+            val slot = TrigramIndex.maxBatch(spark, dir) + 1
             TrigramIndex.ingestBatch(spark, newRows, idCol, c, dir, slot,
               triCfg, overwrite = true)
-            TrigramIndex.compactTiered(spark, dir, triCfg)
+            // reclaim deferred: a concurrent reader that planned against
+            // the folded generations keeps its files until the next regist
+            TrigramIndex.compactTiered(spark, dir, triCfg, reclaim = false)
           }
       }
     }
     numCols.foreach { c =>
+      NumericIndex.vacuum(spark, root, c)
       if (!NumericIndex.exists(spark, root, c))
         NumericIndex.build(spark, df, idCol, c, root)
       else {
         val covered = NumericIndex.stats(spark, root, c).map(_.max_doc_id).getOrElse(-1L)
         val newRows = df.filter(col(idCol).cast("long") > covered)
         if (!newRows.isEmpty) {
-          val slot = NumericIndex.generations(spark, root, c).map(_._2).max + 1
+          val slot = NumericIndex.maxBatch(spark, root, c) + 1
           NumericIndex.ingestBatch(spark, newRows, idCol, c, root, slot,
             overwrite = true)
-          NumericIndex.compactTiered(spark, root, c)
+          NumericIndex.compactTiered(spark, root, c, reclaim = false)
         }
       }
     }
@@ -255,8 +267,9 @@ object QueryParser {
     * the table are executed as scan predicates instead: a semi-join against
     * 90% of the row ids costs a full shuffle and saves nothing. The estimate
     * comes from the index's PERSISTED quantile sketch ([[NumericIndex.stats]])
-    * — zero query-time counting jobs; an index built without stats falls
-    * back to counting the pruned candidate walk once. */
+    * — zero query-time counting jobs. Stats commit with every generation,
+    * so a consulted index always has them; a crash-windowed generation
+    * missing its stats is simply not committed (not consulted at all). */
   val MaxIndexSelectivity = 0.25
 
   /** Candidate doc_ids for ONE conjunct group, intersected across its
@@ -264,20 +277,25 @@ object QueryParser {
     * a scan anyway). Exactness is never at stake: candidates are a superset
     * and every predicate is re-applied by [[queryIndexed]]. */
   private def groupCandidates(spark: SparkSession, exprs: Seq[Expr],
-                              tableMaxId: => Option[Long],
+                              tableWatermark: => Option[(Long, Long)],
                               indexRoot: String): Option[DataFrame] = {
-    // STALENESS GUARD: an index whose max-doc-id watermark is below the
-    // table's max id has rows it never saw (the `regist` -> table-grows ->
-    // `query --index` hazard) — consulting it would silently drop matches
-    // in those rows. Such a conjunct degrades to a scan predicate (always
-    // correct); re-running `regist` (buildIndexes) restores the fast path.
-    def fresh(what: String, covered: Option[Long]): Boolean = covered match {
+    // STALENESS GUARD: an index that covers fewer rows than the table, or
+    // whose max-doc-id watermark is below the table's max id, has rows it
+    // never saw (the `regist` -> table-grows -> `query --index` hazard) —
+    // consulting it would silently drop matches in those rows. The row
+    // count catches even appends that fill id gaps (which a max-id check
+    // alone cannot see); in-place mutation of an existing row is outside
+    // the guard's contract (append-only tables). A stale conjunct degrades
+    // to a scan predicate (always correct); re-running `regist`
+    // (buildIndexes) restores the fast path.
+    def fresh(what: String, covered: Option[(Long, Long)]): Boolean = covered match {
       case None => false
-      case Some(cov) =>
-        val ok = tableMaxId.forall(_ <= cov)
+      case Some((cn, cmax)) =>
+        val ok = tableWatermark.forall { case (n, maxId) => n == cn && maxId <= cmax }
         if (!ok) System.err.println(
-          s"vfsidx: $what index is STALE (covers ids <= $cov, table has " +
-            s"${tableMaxId.get}) - falling back to scan; re-run regist to refresh")
+          s"vfsidx: $what index is STALE (covers $cn rows, ids <= $cmax; table " +
+            s"has ${tableWatermark.get._1} rows, max id ${tableWatermark.get._2}) " +
+            "- falling back to scan; re-run regist to refresh")
         ok
     }
     // string equality shares the reference's containment semantics
@@ -290,7 +308,8 @@ object QueryParser {
     // rule as TrigramIndex.searchExact's full-scan bypass)
     def indexable(c: String, s: String): Boolean =
       Tokenizer.triKeys(s).nonEmpty && TrigramIndex.wellFormedUtf16(s) &&
-        fresh(s"tri/$c", TrigramIndex.coveredMaxDocId(spark, triDir(indexRoot, c)))
+        fresh(s"tri/$c", TrigramIndex.statsMerged(spark, triDir(indexRoot, c))
+          .map(st => (st.n_rows, st.max_doc_id)))
     val searchSets: Seq[DataFrame] = exprs.flatMap {
       case Search(c, s) if indexable(c, s) =>
         Some(TrigramIndex.searchCandidates(spark, triDir(indexRoot, c), s))
@@ -307,7 +326,8 @@ object QueryParser {
     val numBounds = scala.collection.mutable.LinkedHashMap[String, Bounds]()
     exprs.foreach {
       case Cmp(c, op, Left(v)) if op != "!=" &&
-          fresh(s"num/$c", NumericIndex.stats(spark, indexRoot, c).map(_.max_doc_id)) =>
+          fresh(s"num/$c", NumericIndex.stats(spark, indexRoot, c)
+            .map(st => (st.n_rows, st.max_doc_id))) =>
         val b = numBounds.getOrElse(c, Bounds(None, None, None, contradiction = false))
         val nb = op match {
           case "==" => b.eq match {
@@ -369,14 +389,16 @@ object QueryParser {
   def queryIndexed(spark: SparkSession, df: DataFrame, idCol: String,
                    indexRoot: String, q: String): DataFrame = {
     val groups = parseQuery(q)
-    // the table's id watermark for the staleness guard — ONE column-pruned
-    // agg job, evaluated lazily (only when a candidate index is consulted)
-    // and shared across all conjunct groups
-    lazy val tableMaxId: Option[Long] = {
-      val r = df.agg(max(col(idCol).cast("long"))).head()
-      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    // the table's (row count, max id) watermark for the staleness guard —
+    // ONE id-column-pruned agg job, evaluated lazily (only when a candidate
+    // index is consulted) and shared across all conjunct groups. This is
+    // the price of never serving a stale index; the per-conjunct cost gate
+    // itself stays job-free (persisted sketches).
+    lazy val tableWatermark: Option[(Long, Long)] = {
+      val r = df.agg(count(lit(1)), max(col(idCol).cast("long"))).head()
+      if (r.getLong(0) == 0L) None else Some((r.getLong(0), r.getLong(1)))
     }
-    val sets = groups.map(g => groupCandidates(spark, g, tableMaxId, indexRoot))
+    val sets = groups.map(g => groupCandidates(spark, g, tableWatermark, indexRoot))
     val base =
       if (sets.exists(_.isEmpty)) df
       else {
