@@ -278,7 +278,8 @@ object QueryParser {
     * and every predicate is re-applied by [[queryIndexed]]. */
   private def groupCandidates(spark: SparkSession, exprs: Seq[Expr],
                               tableWatermark: => Option[(Long, Long)],
-                              indexRoot: String): Option[DataFrame] = {
+                              indexRoot: String,
+                              searchMemo: scala.collection.mutable.Map[(String, String), DataFrame]): Option[DataFrame] = {
     // STALENESS GUARD: an index that covers fewer rows than the table, or
     // whose max-doc-id watermark is below the table's max id, has rows it
     // never saw (the `regist` -> table-grows -> `query --index` hazard) —
@@ -310,11 +311,15 @@ object QueryParser {
       Tokenizer.triKeys(s).nonEmpty && TrigramIndex.wellFormedUtf16(s) &&
         fresh(s"tri/$c", TrigramIndex.statsMerged(spark, triDir(indexRoot, c))
           .map(st => (st.n_rows, st.max_doc_id)))
+    // memoized per (column, needle) across conjunct groups: a DNF query
+    // like `s && (a || b)` repeats the same search in every distributed
+    // group — one candidate plan serves them all
+    def candidates(c: String, s: String): DataFrame =
+      searchMemo.getOrElseUpdate((c, s),
+        TrigramIndex.searchCandidates(spark, triDir(indexRoot, c), s))
     val searchSets: Seq[DataFrame] = exprs.flatMap {
-      case Search(c, s) if indexable(c, s) =>
-        Some(TrigramIndex.searchCandidates(spark, triDir(indexRoot, c), s))
-      case Cmp(c, "==", Right(s)) if indexable(c, s) =>
-        Some(TrigramIndex.searchCandidates(spark, triDir(indexRoot, c), s))
+      case Search(c, s) if indexable(c, s) => Some(candidates(c, s))
+      case Cmp(c, "==", Right(s)) if indexable(c, s) => Some(candidates(c, s))
       case _ => None
     }
     // Merge ALL numeric conjuncts on one column into a single index walk —
@@ -398,7 +403,9 @@ object QueryParser {
       val r = df.agg(count(lit(1)), max(col(idCol).cast("long"))).head()
       if (r.getLong(0) == 0L) None else Some((r.getLong(0), r.getLong(1)))
     }
-    val sets = groups.map(g => groupCandidates(spark, g, tableWatermark, indexRoot))
+    val searchMemo = scala.collection.mutable.Map.empty[(String, String), DataFrame]
+    val sets = groups.map(g =>
+      groupCandidates(spark, g, tableWatermark, indexRoot, searchMemo))
     val base =
       if (sets.exists(_.isEmpty)) df
       else {
