@@ -21,6 +21,7 @@ final case class SegmentRow(
     term: String,
     shard: Int,
     count: Int,
+    tf_sum: Long,
     postings: Array[Byte],
     block_first: Array[Long],
     block_last: Array[Long],
@@ -375,13 +376,10 @@ object IndexBuild {
               // column predicate (not a closure) so a parquet-backed corpus
               // gets min/max row-group pruning on doc_id
               val batchDocs = docs.filter($"doc_id" >= lo && $"doc_id" < hi).as[SourceFile]
-              // no sort here: the merge stage re-ranges on (term, shard)
-              // anyway, and parquet dictionary encoding compresses unsorted
-              // terms fine
-              val postings = tokenize(batchDocs)
-              TableIO.write(postings.toDF(), rDir)
-              // parquet-footer count: metadata only, no data scan
-              val nPost = spark.read.parquet(rDir).count()
+              TableIO.write(chunkRuns(batchDocs, cfg.shardSize * 1024), rDir)
+              // postings count off the tiny chunk metadata, no data scan
+              val nPost = spark.read.parquet(rDir)
+                .agg(coalesce(sum($"count"), lit(0L))).as[Long].head()
               LineageRow("runs", "", b, "", "", hi - lo, nPost, 0L,
                 System.currentTimeMillis() - t0)
             }
@@ -423,54 +421,40 @@ object IndexBuild {
     import spark.implicits._
     val (lo, hi) = (batches.min, batches.max)
     val gen = s"${lo}_$hi"
-    lazy val allRuns =
-      spark.read.parquet(batches.map(runsDir(dir, _)): _*).as[Posting]
+    lazy val chunks = spark.read.parquet(batches.map(runsDir(dir, _)): _*)
 
-    val dDir = dictGenDir(dir, lo, hi)
-    if (!TableIO.done(spark, dDir)) timed(s"dict:$gen") {
-      TableIO.write(
-        allRuns.groupBy($"term").agg(count(lit(1)).as("df"), sum($"tf").as("tf_sum"))
-          .toDF(), dDir)
-    }
-    // avgdl == sum(tf)/N because sum(dl over docs) == sum(tf over postings);
-    // sum(tf) comes off the (small) dictionary, no extra pass over the runs.
+    // Stats FIRST: avgdl feeds the merge's block-max bounds. avgdl ==
+    // sum(tf)/N because sum(dl over docs) == sum(tf over postings), and
+    // sum(tf) comes off the tiny per-chunk metadata — never a postings scan.
     val sDir = statsGenDir(dir, lo, hi)
     if (!TableIO.done(spark, sDir)) timed(s"stats:$gen") {
-      val tfSum = spark.read.parquet(dDir).agg(sum($"tf_sum")).as[Long].head()
+      val tfSum = chunks.agg(coalesce(sum($"tf_sum"), lit(0L))).as[Long].head()
       TableIO.write(Seq(CorpusStats(nDocs, tfSum,
         if (nDocs == 0) 0.0 else tfSum.toDouble / nDocs)).toDF(), sDir)
     }
     val stats = spark.read.parquet(sDir).as[CorpusStats].head()
 
-    // ---- the one data shuffle: salted merge of this generation's runs ----
+    // ---- the one data shuffle: SPIMI merge of this generation's chunks ----
     val segDir = segmentsGenDir(dir, lo, hi)
     if (!TableIO.done(spark, segDir)) timed(s"segments:$gen") {
       val t0 = System.currentTimeMillis()
-      // The Zipf head is tiny by construction (#terms with df > threshold
-      // < totalPostings/threshold), so it broadcast-joins; the tail never
-      // touches the driver.
-      val headDict = spark.read.parquet(dDir)
-        .filter($"df" > cfg.saltThreshold)
-        .select($"term", lit(true).as("is_head"))
+      // HASH partition on (term, pre_shard) — not range: range partitioning
+      // needs an extra sampling pass, and lexicographically adjacent term
+      // families (e.g. 10^6 df=1 `needle_*` terms) all land in one reducer.
+      // Hash spreads them uniformly; the per-file term min/max stats that
+      // replace the reference's filename key ranges still come from the
+      // within-partition ordering below. Only CHUNK rows move — an order of
+      // magnitude fewer rows and ~5x fewer bytes than raw postings — and
+      // `pre_shard` bounds every reducer group without needing df before
+      // the shuffle (see TrigramIndex for the same design).
+      val salt = cfg.saltThreshold
       val shardSize = cfg.shardSize
       val avgdl = stats.avgdl
-
-      val sharded = allRuns
-        .join(broadcast(headDict), Seq("term"), "left")
-        .withColumn("shard",
-          when($"is_head", ($"doc_id" / shardSize).cast("int")).otherwise(lit(0)))
-        .select($"term", $"doc_id", $"tf", $"dl", $"shard")
-      // HASH partition on (term, shard) — not range: range partitioning needs
-      // an extra sampling pass over every posting, and lexicographically
-      // adjacent term families (e.g. 10^6 df=1 `needle_*` terms) all land in
-      // one reducer. Hash spreads them uniformly; the per-file term min/max
-      // stats that replace the reference's filename key ranges still come
-      // from sortWithinPartitions below.
-      val segs = sharded
-        .repartition(cfg.numBuckets, $"term", $"shard")
-        .sortWithinPartitions($"term", $"shard", $"doc_id")
-        .as[(String, Long, Int, Int, Int)]
-        .mapPartitions { it => encodePartition(it, avgdl) }
+      val segs = chunks
+        .repartition(cfg.numBuckets, $"term", $"pre_shard")
+        .sortWithinPartitions($"term", $"pre_shard", $"first_doc")
+        .as[(String, Long, Long, Long, Int, Long, Array[Byte])]
+        .mapPartitions(it => mergeChunks(it, salt, shardSize, avgdl))
       TableIO.write(segs.toDF(), segDir)
 
       lineage ++= spark.read.parquet(segDir)
@@ -483,6 +467,165 @@ object IndexBuild {
           LineageRow("segments", gen, pid, tf_, tl_, 0L, np, bytes,
             System.currentTimeMillis() - t0)
         }
+    }
+
+    // Dictionary DERIVED from segment metadata: df = Σ count and
+    // tf_sum = Σ row tf_sum per term (each posting lives in exactly one
+    // segment row) — no second pass over the postings.
+    val dDir = dictGenDir(dir, lo, hi)
+    if (!TableIO.done(spark, dDir)) timed(s"dict:$gen") {
+      TableIO.write(
+        spark.read.parquet(segDir).groupBy($"term")
+          .agg(sum($"count").cast("long").as("df"), sum($"tf_sum").as("tf_sum")),
+        dDir)
+    }
+  }
+
+  /** Stage-1 unit: SPIMI chunk runs for one docs slice — tokenize straight
+    * into per-partition partial posting lists (raw (term, doc) rows never
+    * materialize) and persist the CHUNKS, which are also exactly what the
+    * merge shuffle wants as input. The reference's per-key write files
+    * (/root/reference/record.go:46-82) re-expressed columnar. */
+  private[build] def chunkRuns(docs: Dataset[SourceFile],
+                               preShardDocs: Long): DataFrame = {
+    import docs.sparkSession.implicits._
+    val flushPostings = WordFlushPostings
+    docs.mapPartitions { it =>
+      val out = scala.collection.mutable.ArrayBuffer[
+        (String, Long, Long, Long, Int, Long, Array[Byte])]()
+      val map = new java.util.HashMap[String, PostingsBuf]()
+      var total = 0
+      def emitKey(term: String, b: PostingsBuf): Unit = {
+        var i = 0
+        while (i < b.len) {
+          val ps = b.ids(i) / preShardDocs
+          var j = i
+          while (j < b.len && b.ids(j) / preShardDocs == ps) j += 1
+          var ts = 0L
+          var k = i
+          while (k < j) { ts += b.tfs(k); k += 1 }
+          out += ((term, ps, b.ids(i), b.ids(j - 1), j - i, ts,
+            VarByte.packPostings(b.ids, b.tfs, b.dls, i, j)))
+          i = j
+        }
+      }
+      def flush(): Unit = {
+        map.forEach((t, b) => emitKey(t, b))
+        map.clear()
+        total = 0
+      }
+      while (it.hasNext) {
+        val d = it.next()
+        val (tfm, dl) = Tokenizer.termFreqs(d.content)
+        val eit = tfm.entrySet().iterator()
+        while (eit.hasNext) {
+          val e = eit.next()
+          var b = map.get(e.getKey)
+          if (b == null) { b = new PostingsBuf; map.put(e.getKey, b) }
+          // a scan partition can pack files out of doc order: an id that
+          // breaks the run's monotonicity cuts a chunk (the reduce-side
+          // per-group sort absorbs any range overlap)
+          if (b.len > 0 && d.doc_id <= b.ids(b.len - 1)) {
+            emitKey(e.getKey, b); total -= b.len; b.len = 0
+          }
+          b.add(d.doc_id, e.getValue, dl)
+          total += 1
+        }
+        if (total >= flushPostings) flush()
+      }
+      flush()
+      out.iterator
+    }.toDF("term", "pre_shard", "first_doc", "last_doc", "count", "tf_sum", "bytes")
+  }
+
+  /** Map-side flush bound for the SPIMI chunker (see
+    * TrigramIndex.FlushPostings for the sizing rationale). */
+  private[build] val WordFlushPostings = 4 << 20
+
+  /** Reduce side of the SPIMI merge: unpack one (term, pre_shard) group's
+    * chunks, sort the pooled postings by doc id (primitive parallel-array
+    * sort — far cheaper than the wide-row sort a raw-postings shuffle
+    * pays), split groups above `saltThreshold` into doc-range shards, and
+    * encode canonical block-max varbyte segments with THIS generation's
+    * avgdl. */
+  private def mergeChunks(it: Iterator[(String, Long, Long, Long, Int, Long, Array[Byte])],
+                          saltThreshold: Long, shardSize: Long,
+                          avgdl: Double): Iterator[SegmentRow] = {
+    val bucket = org.apache.spark.TaskContext.getPartitionId()
+    val buf = it.buffered
+    new Iterator[SegmentRow] {
+      private var pending: List[SegmentRow] = Nil
+      private def emit(term: String, ids: Array[Long], tfs: Array[Int],
+                       dls: Array[Int], from: Int, until: Int, shard: Int,
+                       rows: scala.collection.mutable.ListBuffer[SegmentRow]): Unit = {
+        val n = until - from
+        val sIds = java.util.Arrays.copyOfRange(ids, from, until)
+        val sTfs = java.util.Arrays.copyOfRange(tfs, from, until)
+        val sDls = java.util.Arrays.copyOfRange(dls, from, until)
+        val enc = VarByte.encode(sIds, sTfs, sDls, avgdl, K1, B)
+        var ts = 0L
+        var k = 0
+        while (k < n) { ts += sTfs(k); k += 1 }
+        rows += SegmentRow(bucket, term, shard, n, ts, enc.bytes,
+          enc.blocks.map(_.firstDoc), enc.blocks.map(_.lastDoc),
+          enc.blocks.map(_.offset), enc.blocks.map(_.maxNorm))
+      }
+      private def refill(): Unit = {
+        if (!buf.hasNext) return
+        val (term, ps, _, _, _, _, _) = buf.head
+        var totalCnt = 0
+        val parts = scala.collection.mutable.ArrayBuffer[(Int, Array[Byte])]()
+        while (buf.hasNext && buf.head._1 == term && buf.head._2 == ps) {
+          val row = buf.next()
+          parts += ((row._5, row._7))
+          totalCnt += row._5
+        }
+        val ids = new Array[Long](totalCnt)
+        val tfs = new Array[Int](totalCnt)
+        val dls = new Array[Int](totalCnt)
+        var off = 0
+        parts.foreach { case (cnt, bytes) =>
+          VarByte.unpackPostings(bytes, cnt, ids, tfs, dls, off)
+          off += cnt
+        }
+        VarByte.sortPostings(ids, tfs, dls)
+        val rows = scala.collection.mutable.ListBuffer[SegmentRow]()
+        if (totalCnt > saltThreshold) {
+          var i = 0
+          while (i < totalCnt) {
+            val shard = (ids(i) / shardSize).toInt
+            var j = i
+            while (j < totalCnt && (ids(j) / shardSize).toInt == shard) j += 1
+            emit(term, ids, tfs, dls, i, j, shard, rows)
+            i = j
+          }
+        } else emit(term, ids, tfs, dls, 0, totalCnt, 0, rows)
+        pending = rows.toList
+      }
+      def hasNext: Boolean = { if (pending.isEmpty) refill(); pending.nonEmpty }
+      def next(): SegmentRow = {
+        if (pending.isEmpty) refill()
+        val h = pending.head
+        pending = pending.tail
+        h
+      }
+    }
+  }
+
+  /** Growable parallel posting arrays for one term (SPIMI map side). */
+  private final class PostingsBuf {
+    var ids = new Array[Long](4)
+    var tfs = new Array[Int](4)
+    var dls = new Array[Int](4)
+    var len = 0
+    def add(id: Long, tf: Int, dl: Int): Unit = {
+      if (len == ids.length) {
+        ids = java.util.Arrays.copyOf(ids, len << 1)
+        tfs = java.util.Arrays.copyOf(tfs, len << 1)
+        dls = java.util.Arrays.copyOf(dls, len << 1)
+      }
+      ids(len) = id; tfs(len) = tf; dls(len) = dl
+      len += 1
     }
   }
 
@@ -507,8 +650,9 @@ object IndexBuild {
     val lineage = scala.collection.mutable.ArrayBuffer[LineageRow]()
     if (!TableIO.done(spark, rDir)) {
       val t0 = System.currentTimeMillis()
-      TableIO.write(tokenize(newDocs).toDF(), rDir)
-      val nPost = spark.read.parquet(rDir).count()
+      TableIO.write(chunkRuns(newDocs, cfg.shardSize * 1024), rDir)
+      val nPost = spark.read.parquet(rDir)
+        .agg(coalesce(sum($"count"), lit(0L))).as[Long].head()
       lineage += LineageRow("runs", "", batchId, "", "", nNew, nPost, 0L,
         System.currentTimeMillis() - t0)
     }
@@ -645,30 +789,4 @@ object IndexBuild {
     }
   }
 
-  /** Group a term+shard+doc_id-sorted partition stream into encoded segment
-    * rows. Bounded memory: a group is at most `df` postings for tail terms
-    * (df <= saltThreshold) or `shardSize` docs for head-term shards. */
-  private def encodePartition(it: Iterator[(String, Long, Int, Int, Int)],
-                              avgdl: Double): Iterator[SegmentRow] = {
-    val bucket = org.apache.spark.TaskContext.getPartitionId()
-    new Iterator[SegmentRow] {
-      private val buf = it.buffered
-      def hasNext: Boolean = buf.hasNext
-      def next(): SegmentRow = {
-        val (term, _, _, _, shard) = buf.head
-        val ids = Array.newBuilder[Long]
-        val tfs = Array.newBuilder[Int]
-        val dls = Array.newBuilder[Int]
-        var n = 0
-        while (buf.hasNext && buf.head._1 == term && buf.head._5 == shard) {
-          val (_, d, tf, dl, _) = buf.next()
-          ids += d; tfs += tf; dls += dl; n += 1
-        }
-        val enc = VarByte.encode(ids.result(), tfs.result(), dls.result(), avgdl, K1, B)
-        SegmentRow(bucket, term, shard, n, enc.bytes,
-          enc.blocks.map(_.firstDoc), enc.blocks.map(_.lastDoc),
-          enc.blocks.map(_.offset), enc.blocks.map(_.maxNorm))
-      }
-    }
-  }
 }

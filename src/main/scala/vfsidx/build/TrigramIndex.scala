@@ -42,19 +42,27 @@ final case class TriStats(n_rows: Long, max_doc_id: Long)
   * (/root/reference/index_file.go:1424-1615) and AND-intersected across the
   * query's trigrams (/root/reference/search_finder.go:120-193).
   *
-  * Spark restatement (same SPIMI shape as the word index in [[IndexBuild]]):
+  * Spark restatement — true SPIMI (round 4): tokenize straight into
+  * per-partition partial posting lists; only compressed CHUNKS ever cross
+  * a stage boundary (raw (key, doc_id) pairs never materialize as rows):
   *
-  *   docs --flatMap distinctTriKeys--> tri_runs (key, doc_id)   [resumable]
-  *   tri_runs --groupBy(key)--> tri_dict (key, df)
-  *   tri_runs --repartition(key, shard) + sortWithinPartitions
-  *            --mapPartitions encodeIds--> tri_segments          [varbyte]
+  *   docs --tokenize+accumulate--> tri_runs CHUNKS
+  *        (key, pre_shard, first_doc, last_doc, count, delta-varint bytes)
+  *   chunks --repartition(key, pre_shard) --mergeChunks-->
+  *        tri_segments (canonical blocked varbyte)            [resumable]
+  *   tri_dict (key, df) derived from segment metadata (Σ count per key)
   *
-  * Hot keys (common trigrams appear in nearly every doc — a harsher Zipf
-  * head than words) are sharded by doc range above `saltThreshold`, so no
-  * reducer or query task owns an unbounded list. Segments are written
-  * key-sorted within files, so the query-time `key isin(...)` filter gets
-  * parquet row-group pruning — the columnar equivalent of the reference's
-  * filename key ranges (/root/reference/index_file.go:1572-1594).
+  * The merge shuffle therefore moves ~an order of magnitude fewer rows and
+  * ~5x fewer bytes than a raw-postings shuffle, and no wide-row sort ever
+  * runs — the reduce side primitive-sorts each group's pooled ids.
+  * Reducer groups are bounded by `pre_shard` (a coarse doc-range split), so
+  * a Zipf-head key (common trigrams appear in nearly every doc) never lands
+  * on one reducer; within a group, keys with df above `saltThreshold` split
+  * into doc-range output shards so no query task owns an unbounded list.
+  * Segments are written key-sorted within files, so the query-time
+  * `key isin(...)` filter gets parquet row-group pruning — the columnar
+  * equivalent of the reference's filename key ranges
+  * (/root/reference/index_file.go:1572-1594).
   *
   * Query = dictionary lookup -> pruned segment scan -> block-range skipping
   * driven by the rarest key -> HAVING count(distinct key)=n intersection ->
@@ -170,15 +178,24 @@ object TrigramIndex {
   def exists(spark: SparkSession, dir: String): Boolean =
     generations(spark, dir).nonEmpty
 
-  /** (key, doc_id) postings runs for one docs slice — stage-1 unit. */
-  private def tokenizeRuns(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+  /** SPIMI chunk runs for one docs slice — stage-1 unit. Tokenizes straight
+    * into per-partition partial posting lists (the raw (key, doc_id) pairs
+    * never materialize as rows) and persists the CHUNKS: ~an order of
+    * magnitude fewer rows and ~5x fewer bytes than a raw postings table,
+    * which is also exactly what the merge shuffle wants as input. This is
+    * the reference's per-value write files (/root/reference/record.go:46-82)
+    * re-expressed columnar. */
+  private def chunkRuns(df: DataFrame, idCol: String, strCol: String,
+                        preShardDocs: Long): DataFrame = {
     import df.sparkSession.implicits._
     df.select(col(idCol).cast("long"), col(strCol).cast("string"))
       .as[(Long, String)]
-      .flatMap { case (id, s) =>
-        Tokenizer.distinctTriKeys(if (s == null) "" else s).map(k => (k, id))
+      .mapPartitions { rows =>
+        chunkPartition(rows.flatMap { case (id, s) =>
+          Tokenizer.distinctTriKeys(if (s == null) "" else s).map(k => (k, id))
+        }, preShardDocs, FlushPostings)
       }
-      .toDF("key", "doc_id")
+      .toDF("key", "pre_shard", "first_doc", "last_doc", "count", "bytes")
   }
 
   /** Build (or resume) the trigram index for `df(strCol)` keyed by
@@ -200,7 +217,7 @@ object TrigramIndex {
   def build(spark: SparkSession, df: DataFrame, idCol: String, strCol: String,
             dir: String, cfg: TriConfig = TriConfig()): Unit = {
     if (!TableIO.done(spark, runsBatchDir(dir, 0))) timed("tri_runs") {
-      TableIO.write(tokenizeRuns(df, idCol, strCol), runsBatchDir(dir, 0))
+      TableIO.write(chunkRuns(df, idCol, strCol, cfg.shardSize * 1024), runsBatchDir(dir, 0))
     }
     val (nRows, maxId) = countAndMax(df, idCol)
     buildGeneration(spark, dir, Seq(0), cfg, nRows, maxId)
@@ -227,7 +244,7 @@ object TrigramIndex {
     val genDone = genTables(dir)(batchId, batchId).forall(TableIO.done(spark, _))
     if (!overwrite && TableIO.done(spark, bDir) && genDone) return
     if (overwrite || !TableIO.done(spark, bDir))
-      TableIO.write(tokenizeRuns(newDocs, idCol, strCol), bDir)
+      TableIO.write(chunkRuns(newDocs, idCol, strCol, cfg.shardSize * 1024), bDir)
     // bucket count sized to the batch: a small refresh generation must not
     // fan into numBuckets near-empty files that every query then opens
     val (nNew, maxId) = countAndMax(newDocs, idCol)
@@ -332,11 +349,6 @@ object TrigramIndex {
     lazy val runs =
       spark.read.parquet(batches.map(runsBatchDir(dir, _)): _*)
 
-    val dDir = dictGenDir(dir, lo, hi)
-    if (force || !TableIO.done(spark, dDir)) timed(s"tri_dict:$gen") {
-      TableIO.write(runs.groupBy($"key").agg(count(lit(1)).as("df")), dDir)
-    }
-
     val stDir = statsGenDir(dir, lo, hi)
     if (force || !TableIO.done(spark, stDir))
       TableIO.write(Seq(TriStats(nRows, maxDocId)).toDF(), stDir)
@@ -344,20 +356,25 @@ object TrigramIndex {
     val segDir = segmentsGenDir(dir, lo, hi)
     if (force || !TableIO.done(spark, segDir)) timed(s"tri_segments:$gen") {
       val t0 = System.currentTimeMillis()
-      // Zipf head is tiny (#keys with df > threshold < totalPostings/threshold)
-      val headKeys = spark.read.parquet(dDir)
-        .filter($"df" > cfg.saltThreshold)
-        .select($"key", lit(true).as("is_head"))
-      val shardSize = cfg.shardSize
+      // SPIMI chunked merge (north_star: "per-partition posting lists ...
+      // sort-merge them into a global segmented inverted index"): the map
+      // side accumulates per-partition key -> ascending-id lists in bounded
+      // memory (flushing at FlushPostings) and emits delta-varint CHUNKS;
+      // only chunks cross the shuffle — an order of magnitude fewer rows
+      // and ~5x fewer bytes than shuffling raw (key, doc_id) postings. The
+      // wide-row posting sort disappears: the reduce side sorts only each
+      // group's pooled primitive ids (bounded by the pre_shard doc range).
+      // `pre_shard` = doc / preShardDocs bounds any reducer group — the
+      // Zipf-head safety the raw pipeline got from df-based salting, now
+      // without needing df before the shuffle (so the dictionary can
+      // derive from the OUTPUT below instead of a second full runs scan).
+      val salt = cfg.saltThreshold
+      val shardSz = cfg.shardSize
       val segs = runs
-        .join(broadcast(headKeys), Seq("key"), "left")
-        .withColumn("shard",
-          when($"is_head", ($"doc_id" / shardSize).cast("int")).otherwise(lit(0)))
-        .select($"key", $"doc_id", $"shard")
-        .repartition(cfg.numBuckets, $"key", $"shard")
-        .sortWithinPartitions($"key", $"shard", $"doc_id")
-        .as[(Long, Long, Int)]
-        .mapPartitions(encodePartition)
+        .repartition(cfg.numBuckets, $"key", $"pre_shard")
+        .sortWithinPartitions($"key", $"pre_shard", $"first_doc")
+        .as[(Long, Long, Long, Long, Int, Array[Byte])]
+        .mapPartitions(it => mergeChunks(it, salt, shardSz))
       TableIO.write(segs.toDF(), segDir)
 
       // per-partition lineage (north_rule): segment id, key range (hex —
@@ -375,23 +392,194 @@ object TrigramIndex {
       if (lin.nonEmpty)
         TableIO.append(spark.createDataset(lin.toIndexedSeq).toDF(), lineageDir(dir))
     }
+
+    // Dictionary DERIVED from the segment metadata: Σ count per key == df
+    // exactly (each (key, doc) posting lives in exactly one segment row),
+    // read off the tiny per-row metadata columns instead of a second full
+    // scan of the runs.
+    val dDir = dictGenDir(dir, lo, hi)
+    if (force || !TableIO.done(spark, dDir)) timed(s"tri_dict:$gen") {
+      TableIO.write(
+        spark.read.parquet(segDir).groupBy($"key")
+          .agg(sum($"count").cast("long").as("df")), dDir)
+    }
   }
 
-  private def encodePartition(it: Iterator[(Long, Long, Int)]): Iterator[TriSegmentRow] = {
-    val bucket = org.apache.spark.TaskContext.getPartitionId()
-    new Iterator[TriSegmentRow] {
-      private val buf = it.buffered
-      def hasNext: Boolean = buf.hasNext
-      def next(): TriSegmentRow = {
-        val (key, _, shard) = buf.head
-        val ids = Array.newBuilder[Long]
-        while (buf.hasNext && buf.head._1 == key && buf.head._3 == shard) {
-          ids += buf.next()._2
-        }
-        val enc = VarByte.encodeIds(ids.result())
-        TriSegmentRow(bucket, key, shard, enc.count, enc.bytes,
-          enc.blockFirst, enc.blockLast, enc.blockOff)
+  /** Map-side flush bound for the SPIMI chunker: postings accumulated per
+    * task before partial lists are emitted as chunks (~32 MB of ids plus
+    * map overhead — well inside an executor-core's working share; flushed
+    * partial lists of one key merge on the reduce side like any other
+    * chunks, so the bound only trades chunk count for memory). */
+  private[build] val FlushPostings = 4 << 20
+
+  /** One map partition -> SPIMI chunks: accumulate per-key ascending id
+    * lists (ids arrive doc-ordered within a partition), flush at
+    * [[FlushPostings]], split at `preShardDocs` doc boundaries so no chunk
+    * spans reducer groups. Emits (key, pre_shard, first_doc, last_doc,
+    * count, packed delta-varint bytes). */
+  private[build] def chunkPartition(it: Iterator[(Long, Long)], preShardDocs: Long,
+      flushPostings: Int): Iterator[(Long, Long, Long, Long, Int, Array[Byte])] = {
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Int, Array[Byte])]()
+    val map = new LongListMap()
+    var total = 0
+    def emitKey(key: Long, ids: Array[Long], len: Int): Unit = {
+      var i = 0
+      while (i < len) {
+        val ps = ids(i) / preShardDocs
+        var j = i
+        while (j < len && ids(j) / preShardDocs == ps) j += 1
+        out += ((key, ps, ids(i), ids(j - 1), j - i, VarByte.packIds(ids, i, j)))
+        i = j
       }
+    }
+    def flush(): Unit = {
+      map.foreach(emitKey)
+      map.clear()
+      total = 0
+    }
+    while (it.hasNext) {
+      val kv = it.next()
+      total -= map.append(kv._1, kv._2, emitKey)
+      total += 1
+      if (total >= flushPostings) flush()
+    }
+    flush()
+    out.iterator
+  }
+
+  /** Reduce side of the SPIMI merge: unpack one (key, pre_shard) group's
+    * chunks, primitive-sort the pooled ids (each chunk is ascending but a
+    * scan partition can pack files out of doc order, so chunk RANGES may
+    * overlap — a per-group Arrays.sort on bounded primitive ids is far
+    * cheaper than the wide-row sort the raw pipeline paid), and re-encode
+    * canonical blocked segments. Groups whose df exceeds `saltThreshold`
+    * split into doc-range shards (shard = doc_id / shardSize) exactly like
+    * the df-salted pipeline; smaller groups emit one shard-0 row. */
+  private def mergeChunks(it: Iterator[(Long, Long, Long, Long, Int, Array[Byte])],
+      saltThreshold: Long, shardSize: Long): Iterator[TriSegmentRow] = {
+    val bucket = org.apache.spark.TaskContext.getPartitionId()
+    val buf = it.buffered
+    new Iterator[TriSegmentRow] {
+      private var pending: List[TriSegmentRow] = Nil
+      private def refill(): Unit = {
+        if (!buf.hasNext) return
+        val (key, ps, _, _, _, _) = buf.head
+        var totalCnt = 0
+        val chunks = scala.collection.mutable.ArrayBuffer[(Int, Array[Byte])]()
+        while (buf.hasNext && buf.head._1 == key && buf.head._2 == ps) {
+          val (_, _, _, _, cnt, bytes) = buf.next()
+          chunks += ((cnt, bytes))
+          totalCnt += cnt
+        }
+        val ids = new Array[Long](totalCnt)
+        var off = 0
+        chunks.foreach { case (cnt, bytes) =>
+          VarByte.unpackIds(bytes, cnt, ids, off)
+          off += cnt
+        }
+        java.util.Arrays.sort(ids)
+        val rows = List.newBuilder[TriSegmentRow]
+        if (totalCnt > saltThreshold) {
+          var i = 0
+          while (i < totalCnt) {
+            val shard = (ids(i) / shardSize).toInt
+            var j = i
+            while (j < totalCnt && (ids(j) / shardSize).toInt == shard) j += 1
+            val enc = VarByte.encodeIds(java.util.Arrays.copyOfRange(ids, i, j))
+            rows += TriSegmentRow(bucket, key, shard, enc.count, enc.bytes,
+              enc.blockFirst, enc.blockLast, enc.blockOff)
+            i = j
+          }
+        } else {
+          val enc = VarByte.encodeIds(ids)
+          rows += TriSegmentRow(bucket, key, 0, enc.count, enc.bytes,
+            enc.blockFirst, enc.blockLast, enc.blockOff)
+        }
+        pending = rows.result()
+      }
+      def hasNext: Boolean = { if (pending.isEmpty) refill(); pending.nonEmpty }
+      def next(): TriSegmentRow = {
+        if (pending.isEmpty) refill()
+        val h = pending.head
+        pending = pending.tail
+        h
+      }
+    }
+  }
+
+  /** Primitive open-addressing long -> growable-long-array map for the
+    * SPIMI chunker's hot loop (a boxed HashMap would allocate per insert —
+    * billions per build; same lesson as the tokenizer's primitive set). */
+  private final class LongListMap {
+    private var cap = 1 << 16
+    private var mask = cap - 1
+    private var keys = new Array[Long](cap)
+    private var used = new Array[Boolean](cap)
+    private var vals = new Array[Array[Long]](cap)
+    private var lens = new Array[Int](cap)
+    private var n = 0
+
+    /** Append `id` to `k`'s list. Ids within one INPUT FILE arrive
+      * ascending, but a scan partition can pack several files in arbitrary
+      * order — when the new id breaks the list's monotonicity (a file
+      * boundary), the accumulated run is handed to `onOrderBreak` as its
+      * own chunk first (runs from different files cover disjoint doc
+      * ranges, so the reduce-side first_doc ordering still merges them
+      * without a posting sort). Returns how many postings were emitted. */
+    def append(k: Long, id: Long,
+               onOrderBreak: (Long, Array[Long], Int) => Unit): Int = {
+      var i = (scala.util.hashing.byteswap64(k) & mask).toInt
+      while (used(i) && keys(i) != k) i = (i + 1) & mask
+      if (!used(i)) {
+        if (n * 10 >= cap * 7) { grow(); return append(k, id, onOrderBreak) }
+        used(i) = true; keys(i) = k; vals(i) = new Array[Long](4); lens(i) = 0
+        n += 1
+      }
+      var emitted = 0
+      var arr = vals(i)
+      var len = lens(i)
+      if (len > 0 && id <= arr(len - 1)) {
+        onOrderBreak(k, arr, len)
+        emitted = len
+        len = 0
+      }
+      if (len == arr.length) {
+        arr = java.util.Arrays.copyOf(arr, arr.length << 1)
+        vals(i) = arr
+      }
+      arr(len) = id
+      lens(i) = len + 1
+      emitted
+    }
+
+    private def grow(): Unit = {
+      val (ok, ov, ol, ou) = (keys, vals, lens, used)
+      cap <<= 1; mask = cap - 1
+      keys = new Array[Long](cap); used = new Array[Boolean](cap)
+      vals = new Array[Array[Long]](cap); lens = new Array[Int](cap)
+      var i = 0
+      while (i < ok.length) {
+        if (ou(i)) {
+          var j = (scala.util.hashing.byteswap64(ok(i)) & mask).toInt
+          while (used(j)) j = (j + 1) & mask
+          used(j) = true; keys(j) = ok(i); vals(j) = ov(i); lens(j) = ol(i)
+        }
+        i += 1
+      }
+    }
+
+    def foreach(f: (Long, Array[Long], Int) => Unit): Unit = {
+      var i = 0
+      while (i < cap) {
+        if (used(i)) f(keys(i), vals(i), lens(i))
+        i += 1
+      }
+    }
+
+    def clear(): Unit = {
+      java.util.Arrays.fill(used, false)
+      java.util.Arrays.fill(vals.asInstanceOf[Array[AnyRef]], null)
+      n = 0
     }
   }
 

@@ -176,6 +176,125 @@ object VarByte {
     EncodedIds(out.toByteArray, n, bf.result(), bl.result(), bo.result())
   }
 
+  // ---- flat chunk packing (SPIMI map-side partial posting lists) ----
+  // Chunks are TRANSIENT shuffle payload (map-side partial lists merged on
+  // the reduce side into canonical blocked segments), so they carry no
+  // block metadata: one flat delta-varint run, decoded whole.
+
+  /** Pack ids[from, until) — strictly ascending — as flat delta varints. */
+  def packIds(ids: Array[Long], from: Int, until: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream((until - from) * 2)
+    var prev = 0L
+    var i = from
+    while (i < until) {
+      val d = ids(i)
+      require(d > prev || i == from, s"ids must be strictly ascending: $prev -> $d")
+      writeVarLong(out, d - prev)
+      prev = d
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** Unpack `count` flat delta-varint ids into dst[dstOff, dstOff+count). */
+  def unpackIds(bytes: Array[Byte], count: Int, dst: Array[Long], dstOff: Int): Unit = {
+    var pos = 0
+    var prev = 0L
+    var i = 0
+    while (i < count) {
+      var shift = 0; var v = 0L; var bb = 0
+      do { bb = bytes(pos) & 0xff; pos += 1; v |= (bb & 0x7fL) << shift; shift += 7 } while ((bb & 0x80) != 0)
+      prev += v
+      dst(dstOff + i) = prev
+      i += 1
+    }
+  }
+
+  /** Pack scored postings [from, until) — ids strictly ascending — as flat
+    * (docIdGap, tf, dl) varint triples (SPIMI chunk payload). */
+  def packPostings(ids: Array[Long], tfs: Array[Int], dls: Array[Int],
+                   from: Int, until: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream((until - from) * 4)
+    var prev = 0L
+    var i = from
+    while (i < until) {
+      val d = ids(i)
+      require(d > prev || i == from, s"ids must be strictly ascending: $prev -> $d")
+      writeVarLong(out, d - prev)
+      writeVarLong(out, tfs(i).toLong)
+      writeVarLong(out, dls(i).toLong)
+      prev = d
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** Unpack `count` packed postings into the dst arrays at dstOff. */
+  def unpackPostings(bytes: Array[Byte], count: Int, dstIds: Array[Long],
+                     dstTfs: Array[Int], dstDls: Array[Int], dstOff: Int): Unit = {
+    var pos = 0
+    var prev = 0L
+    var i = 0
+    while (i < count) {
+      var shift = 0; var v = 0L; var bb = 0
+      do { bb = bytes(pos) & 0xff; pos += 1; v |= (bb & 0x7fL) << shift; shift += 7 } while ((bb & 0x80) != 0)
+      prev += v
+      dstIds(dstOff + i) = prev
+      shift = 0; v = 0L
+      do { bb = bytes(pos) & 0xff; pos += 1; v |= (bb & 0x7fL) << shift; shift += 7 } while ((bb & 0x80) != 0)
+      dstTfs(dstOff + i) = v.toInt
+      shift = 0; v = 0L
+      do { bb = bytes(pos) & 0xff; pos += 1; v |= (bb & 0x7fL) << shift; shift += 7 } while ((bb & 0x80) != 0)
+      dstDls(dstOff + i) = v.toInt
+      i += 1
+    }
+  }
+
+  /** In-place quicksort of parallel (ids, tfs, dls) arrays by ids —
+    * the reduce-side SPIMI merge pools chunks whose doc ranges may overlap
+    * (scan partitions pack files out of doc order), and the JDK has no
+    * primitive sort-by-key. Ids are distinct (one posting per (term, doc)),
+    * so no equal-pivot pathologies arise. */
+  def sortPostings(ids: Array[Long], tfs: Array[Int], dls: Array[Int]): Unit = {
+    def swap(a: Int, b: Int): Unit = {
+      val t0 = ids(a); ids(a) = ids(b); ids(b) = t0
+      val t1 = tfs(a); tfs(a) = tfs(b); tfs(b) = t1
+      val t2 = dls(a); dls(a) = dls(b); dls(b) = t2
+    }
+    def insertion(lo: Int, hi: Int): Unit = {
+      var i = lo + 1
+      while (i <= hi) {
+        val (ki, kt, kd) = (ids(i), tfs(i), dls(i))
+        var j = i - 1
+        while (j >= lo && ids(j) > ki) {
+          ids(j + 1) = ids(j); tfs(j + 1) = tfs(j); dls(j + 1) = dls(j)
+          j -= 1
+        }
+        ids(j + 1) = ki; tfs(j + 1) = kt; dls(j + 1) = kd
+        i += 1
+      }
+    }
+    def qs(lo: Int, hi: Int): Unit = {
+      if (hi - lo < 32) { insertion(lo, hi); return }
+      val mid = lo + (hi - lo) / 2
+      // median-of-three pivot
+      if (ids(mid) < ids(lo)) swap(lo, mid)
+      if (ids(hi) < ids(lo)) swap(lo, hi)
+      if (ids(hi) < ids(mid)) swap(mid, hi)
+      val pivot = ids(mid)
+      var i = lo
+      var j = hi
+      while (i <= j) {
+        while (ids(i) < pivot) i += 1
+        while (ids(j) > pivot) j -= 1
+        if (i <= j) { swap(i, j); i += 1; j -= 1 }
+      }
+      if (lo < j) qs(lo, j)
+      if (i < hi) qs(i, hi)
+    }
+    if (ids.length > 1) qs(0, ids.length - 1)
+  }
+
   /** Decode one ids-only block at `offset` holding `count` postings. */
   def decodeIdsBlock(bytes: Array[Byte], offset: Int, count: Int): Array[Long] = {
     val docIds = new Array[Long](count)

@@ -122,6 +122,58 @@ class ColumnRefreshSpec extends SparkTestBase {
     }
   }
 
+  test("REPLAYED epoch (crash after ingest, before commit log) re-stamps identical ids") {
+    // the exact crash window the recorded-base fix covers: foreachBatch
+    // completed (word + per-column generations committed), but the stream
+    // died before writing the epoch's commit-log entry — on restart the
+    // epoch REPLAYS. docCount now includes the epoch's own docs, so a
+    // re-derived base would shift every per-column rewrite by nDocs; the
+    // epoch file's recorded base keeps the re-stamp byte-identical.
+    val data = tmpDir("replay_data")
+    val idx = tmpDir("replay_idx")
+    val ckpt = tmpDir("replay_ckpt")
+    val cfg = IndexBuild.BuildConfig(numBatches = 1, numBuckets = 2,
+      saltThreshold = 100, shardSize = 64)
+    def writeFile(name: String, rows: Seq[(String, String, Int)]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$data/$name"),
+        rows.map { case (c, t, n) =>
+          s"""{"content": "$c", "title": "$t", "n": $n}"""
+        }.mkString("\n").getBytes("UTF-8"))
+    writeFile("r0.json", Seq(("alpha body", "replay first", 3)))
+    val empty = Ingest.withDocIds(
+      spark.read.json(s"$data/r0.json").select($"title", $"n").limit(0), "doc_id", 0L)
+    TrigramIndex.build(spark, empty, "doc_id", "title", s"$idx/tri/title",
+      TrigramIndex.TriConfig(numBuckets = 2, saltThreshold = 100, shardSize = 64))
+    NumericIndex.build(spark, empty, "doc_id", "n", idx, numBuckets = 2)
+
+    Ingest.streamJson(spark, idx, data, "content", ckpt, cfg)
+    // simulate the crash window: drop the commit-log entry for the last
+    // epoch (offsets survive), so the restart replays it with the SAME files
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty)
+    val crc = new java.io.File(commits.last.getParent, s".${commits.last.getName}.crc")
+    assert(commits.last.delete())
+    if (crc.exists()) crc.delete()   // stale checksum would break the replay's rename
+    writeFile("r1.json", Seq(("beta body", "replay second", 4)))
+    Ingest.streamJson(spark, idx, data, "content", ckpt, cfg)
+
+    // no duplicate ids anywhere: corpus ids dense, per-column watermarks
+    // advanced exactly once
+    val ids = spark.read.parquet(IndexBuild.docStatsDir(idx))
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == (0L until 2L))
+    val triD = vfsidx.query.QueryParser.triDir(idx, "title")
+    assert(TrigramIndex.coveredMaxDocId(spark, triD).contains(1L))
+    assert(TrigramIndex.statsMerged(spark, triD).get.n_rows == 2L)
+    assert(TrigramIndex.searchCandidates(spark, triD, "first")
+      .as[Long].collect().toSeq == Seq(0L))
+    assert(TrigramIndex.searchCandidates(spark, triD, "second")
+      .as[Long].collect().toSeq == Seq(1L))
+    assert(NumericIndex.point(spark, idx, "n", 3L).as[Long].collect().toSeq == Seq(0L))
+    assert(NumericIndex.stats(spark, idx, "n").get.n_rows == 2L)
+  }
+
   test("STREAMING ingest maintains registered per-column indexes per epoch") {
     val data = tmpDir("colref_sdata")
     val idx = tmpDir("colref_sidx")
