@@ -245,9 +245,38 @@ object IndexBuild {
   private def genTables(dir: String)(l: Int, h: Int): Seq[String] =
     Seq(segmentsGenDir(dir, l, h), dictGenDir(dir, l, h), statsGenDir(dir, l, h))
 
-  def generations(spark: SparkSession, dir: String): Seq[(Int, Int)] =
-    GenListing.survivors(
+  /** Dirs whose on-disk format has been verified, per JVM (one parquet
+    * footer read per generation on the first [[generations]] call). */
+  private val formatChecked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** MIGRATION gate (round 4): the word index's on-disk format changed —
+    * `runs` hold SPIMI chunk rows (term, pre_shard, first_doc, last_doc,
+    * count, tf_sum, bytes) instead of raw [[Posting]] rows, and `segments`
+    * gained a `tf_sum` column. An index persisted by an earlier build would
+    * otherwise fail deep inside a query (`SegmentRow` encoder) or — worse —
+    * mid-compaction, after new generations were already sealed. Refuse it up
+    * front, loudly, with a rebuild instruction. (The trigram index needs no
+    * such check: its `tri_stats` table is also new, so pre-round-4 trigram
+    * generations already list as uncommitted.) */
+  private def assertSegmentFormat(spark: SparkSession, dir: String,
+                                  gens: Seq[(Int, Int)]): Unit = {
+    if (gens.isEmpty || formatChecked.contains(dir)) return
+    gens.foreach { case (l, h) =>
+      require(
+        spark.read.parquet(segmentsGenDir(dir, l, h)).schema.fieldNames.contains("tf_sum"),
+        s"word index at $dir holds a generation gen=${l}_$h written by a " +
+          "pre-chunk-format build (segments lack tf_sum; its runs are raw " +
+          "postings): delete the index directory and rebuild")
+    }
+    formatChecked.add(dir)
+  }
+
+  def generations(spark: SparkSession, dir: String): Seq[(Int, Int)] = {
+    val gens = GenListing.survivors(
       GenListing.committed(spark, s"$dir/segments", genTables(dir)))
+    assertSegmentFormat(spark, dir, gens)
+    gens
+  }
 
   /** Delete RETIRED generation directories (those contained in a wider
     * committed generation) — the Iceberg/Delta expire-snapshots pattern:
@@ -421,7 +450,15 @@ object IndexBuild {
     import spark.implicits._
     val (lo, hi) = (batches.min, batches.max)
     val gen = s"${lo}_$hi"
-    lazy val chunks = spark.read.parquet(batches.map(runsDir(dir, _)): _*)
+    lazy val chunks = {
+      val df = spark.read.parquet(batches.map(runsDir(dir, _)): _*)
+      // migration gate: resuming/folding over runs written by a pre-chunk-
+      // format build must fail with an instruction, not an analysis error
+      require(df.schema.fieldNames.contains("pre_shard"),
+        s"runs under $dir were written by a pre-chunk-format build (raw " +
+          "posting rows): delete the index directory and rebuild")
+      df
+    }
 
     // Stats FIRST: avgdl feeds the merge's block-max bounds. avgdl ==
     // sum(tf)/N because sum(dl over docs) == sum(tf over postings), and
@@ -489,58 +526,56 @@ object IndexBuild {
   private[build] def chunkRuns(docs: Dataset[SourceFile],
                                preShardDocs: Long): DataFrame = {
     import docs.sparkSession.implicits._
-    val flushPostings = WordFlushPostings
-    docs.mapPartitions { it =>
-      val out = scala.collection.mutable.ArrayBuffer[
-        (String, Long, Long, Long, Int, Long, Array[Byte])]()
-      val map = new java.util.HashMap[String, PostingsBuf]()
-      var total = 0
-      def emitKey(term: String, b: PostingsBuf): Unit = {
-        var i = 0
-        while (i < b.len) {
-          val ps = b.ids(i) / preShardDocs
-          var j = i
-          while (j < b.len && b.ids(j) / preShardDocs == ps) j += 1
-          var ts = 0L
-          var k = i
-          while (k < j) { ts += b.tfs(k); k += 1 }
-          out += ((term, ps, b.ids(i), b.ids(j - 1), j - i, ts,
-            VarByte.packPostings(b.ids, b.tfs, b.dls, i, j)))
-          i = j
-        }
-      }
-      def flush(): Unit = {
-        map.forEach((t, b) => emitKey(t, b))
-        map.clear()
-        total = 0
-      }
-      while (it.hasNext) {
-        val d = it.next()
-        val (tfm, dl) = Tokenizer.termFreqs(d.content)
-        val eit = tfm.entrySet().iterator()
-        while (eit.hasNext) {
-          val e = eit.next()
-          var b = map.get(e.getKey)
-          if (b == null) { b = new PostingsBuf; map.put(e.getKey, b) }
-          // a scan partition can pack files out of doc order: an id that
-          // breaks the run's monotonicity cuts a chunk (the reduce-side
-          // per-group sort absorbs any range overlap)
-          if (b.len > 0 && d.doc_id <= b.ids(b.len - 1)) {
-            emitKey(e.getKey, b); total -= b.len; b.len = 0
-          }
-          b.add(d.doc_id, e.getValue, dl)
-          total += 1
-        }
-        if (total >= flushPostings) flush()
-      }
-      flush()
-      out.iterator
-    }.toDF("term", "pre_shard", "first_doc", "last_doc", "count", "tf_sum", "bytes")
+    docs.mapPartitions(it =>
+      Spimi.chunks(it, new WordChunkAccumulator(preShardDocs), WordFlushPostings))
+      .toDF("term", "pre_shard", "first_doc", "last_doc", "count", "tf_sum", "bytes")
   }
 
-  /** Map-side flush bound for the SPIMI chunker (see
-    * TrigramIndex.FlushPostings for the sizing rationale). */
-  private[build] val WordFlushPostings = 4 << 20
+  /** [[Spimi.Accumulator]] for scored word postings: tokenizes each doc
+    * into per-term [[PostingsBuf]]s; payload = flat (gap, tf, dl) varint
+    * triples ([[VarByte.packPostings]]) plus the chunk's tf_sum. */
+  private final class WordChunkAccumulator(preShardDocs: Long)
+      extends Spimi.Accumulator[SourceFile, (String, Long, Long, Long, Int, Long, Array[Byte])] {
+    private val map = new java.util.HashMap[String, PostingsBuf]()
+    private def emitKey(term: String, b: PostingsBuf,
+        out: scala.collection.mutable.ArrayBuffer[(String, Long, Long, Long, Int, Long, Array[Byte])]): Unit =
+      Spimi.splitByRange(b.ids, b.len, preShardDocs) { (i, j, ps) =>
+        var ts = 0L
+        var k = i
+        while (k < j) { ts += b.tfs(k); k += 1 }
+        out += ((term, ps, b.ids(i), b.ids(j - 1), j - i, ts,
+          VarByte.packPostings(b.ids, b.tfs, b.dls, i, j)))
+      }
+    def add(d: SourceFile,
+        out: scala.collection.mutable.ArrayBuffer[(String, Long, Long, Long, Int, Long, Array[Byte])]): Int = {
+      val (tfm, dl) = Tokenizer.termFreqs(d.content)
+      var net = 0
+      val eit = tfm.entrySet().iterator()
+      while (eit.hasNext) {
+        val e = eit.next()
+        var b = map.get(e.getKey)
+        if (b == null) { b = new PostingsBuf; map.put(e.getKey, b) }
+        // a scan partition can pack files out of doc order: an id that
+        // breaks the run's monotonicity cuts a chunk (the reduce-side
+        // per-group sort absorbs any range overlap)
+        if (b.len > 0 && d.doc_id <= b.ids(b.len - 1)) {
+          emitKey(e.getKey, b, out); net -= b.len; b.len = 0
+        }
+        b.add(d.doc_id, e.getValue, dl)
+        net += 1
+      }
+      net
+    }
+    def flushAll(
+        out: scala.collection.mutable.ArrayBuffer[(String, Long, Long, Long, Int, Long, Array[Byte])]): Unit = {
+      map.forEach((t, b) => emitKey(t, b, out))
+      map.clear()
+    }
+  }
+
+  /** Map-side flush bound for the SPIMI chunker — see
+    * [[Spimi.FlushPostings]]. */
+  private[build] val WordFlushPostings = Spimi.FlushPostings
 
   /** Reduce side of the SPIMI merge: unpack one (term, pre_shard) group's
     * chunks, sort the pooled postings by doc id (primitive parallel-array
@@ -552,64 +587,40 @@ object IndexBuild {
                           saltThreshold: Long, shardSize: Long,
                           avgdl: Double): Iterator[SegmentRow] = {
     val bucket = org.apache.spark.TaskContext.getPartitionId()
-    val buf = it.buffered
-    new Iterator[SegmentRow] {
-      private var pending: List[SegmentRow] = Nil
-      private def emit(term: String, ids: Array[Long], tfs: Array[Int],
-                       dls: Array[Int], from: Int, until: Int, shard: Int,
-                       rows: scala.collection.mutable.ListBuffer[SegmentRow]): Unit = {
-        val n = until - from
-        val sIds = java.util.Arrays.copyOfRange(ids, from, until)
-        val sTfs = java.util.Arrays.copyOfRange(tfs, from, until)
-        val sDls = java.util.Arrays.copyOfRange(dls, from, until)
-        val enc = VarByte.encode(sIds, sTfs, sDls, avgdl, K1, B)
-        var ts = 0L
-        var k = 0
-        while (k < n) { ts += sTfs(k); k += 1 }
-        rows += SegmentRow(bucket, term, shard, n, ts, enc.bytes,
-          enc.blocks.map(_.firstDoc), enc.blocks.map(_.lastDoc),
-          enc.blocks.map(_.offset), enc.blocks.map(_.maxNorm))
-      }
-      private def refill(): Unit = {
-        if (!buf.hasNext) return
-        val (term, ps, _, _, _, _, _) = buf.head
+    Spimi.mergeGroups[(String, Long, Long, Long, Int, Long, Array[Byte]), SegmentRow](
+      it, (a, b) => a._1 == b._1 && a._2 == b._2,
+      group => {
+        val term = group(0)._1
         var totalCnt = 0
-        val parts = scala.collection.mutable.ArrayBuffer[(Int, Array[Byte])]()
-        while (buf.hasNext && buf.head._1 == term && buf.head._2 == ps) {
-          val row = buf.next()
-          parts += ((row._5, row._7))
-          totalCnt += row._5
-        }
+        group.foreach(totalCnt += _._5)
         val ids = new Array[Long](totalCnt)
         val tfs = new Array[Int](totalCnt)
         val dls = new Array[Int](totalCnt)
         var off = 0
-        parts.foreach { case (cnt, bytes) =>
-          VarByte.unpackPostings(bytes, cnt, ids, tfs, dls, off)
-          off += cnt
+        group.foreach { row =>
+          VarByte.unpackPostings(row._7, row._5, ids, tfs, dls, off)
+          off += row._5
         }
         VarByte.sortPostings(ids, tfs, dls)
-        val rows = scala.collection.mutable.ListBuffer[SegmentRow]()
-        if (totalCnt > saltThreshold) {
-          var i = 0
-          while (i < totalCnt) {
-            val shard = (ids(i) / shardSize).toInt
-            var j = i
-            while (j < totalCnt && (ids(j) / shardSize).toInt == shard) j += 1
-            emit(term, ids, tfs, dls, i, j, shard, rows)
-            i = j
-          }
-        } else emit(term, ids, tfs, dls, 0, totalCnt, 0, rows)
-        pending = rows.toList
-      }
-      def hasNext: Boolean = { if (pending.isEmpty) refill(); pending.nonEmpty }
-      def next(): SegmentRow = {
-        if (pending.isEmpty) refill()
-        val h = pending.head
-        pending = pending.tail
-        h
-      }
-    }
+        val rows = List.newBuilder[SegmentRow]
+        def emit(from: Int, until: Int, shard: Int): Unit = {
+          val n = until - from
+          val sIds = java.util.Arrays.copyOfRange(ids, from, until)
+          val sTfs = java.util.Arrays.copyOfRange(tfs, from, until)
+          val sDls = java.util.Arrays.copyOfRange(dls, from, until)
+          val enc = VarByte.encode(sIds, sTfs, sDls, avgdl, K1, B)
+          var ts = 0L
+          var k = 0
+          while (k < n) { ts += sTfs(k); k += 1 }
+          rows += SegmentRow(bucket, term, shard, n, ts, enc.bytes,
+            enc.blocks.map(_.firstDoc), enc.blocks.map(_.lastDoc),
+            enc.blocks.map(_.offset), enc.blocks.map(_.maxNorm))
+        }
+        if (totalCnt > saltThreshold)
+          Spimi.splitByRange(ids, totalCnt, shardSize)((i, j, s) => emit(i, j, s.toInt))
+        else emit(0, totalCnt, 0)
+        rows.result()
+      })
   }
 
   /** Growable parallel posting arrays for one term (SPIMI map side). */

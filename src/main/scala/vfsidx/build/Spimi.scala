@@ -1,0 +1,112 @@
+package vfsidx.build
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Shared SPIMI machinery for the word ([[IndexBuild]]) and trigram
+  * ([[TrigramIndex]]) index builds. The two pipelines move data identically —
+  * map-side accumulate-and-flush into compressed chunks, one (key, pre_shard)
+  * shuffle, reduce-side group pooling, doc-range shard splitting — and only
+  * the payload codec differs (scored (id, tf, dl) triples vs ids-only). The
+  * data movement lives here ONCE so a fix to the flush policy, the group
+  * iterator, or the shard split can never silently diverge between the two
+  * indexes; the payload-specific pack/unpack/sort/encode stays at the call
+  * sites.
+  *
+  * Memory bound: [[chunks]] drains emitted chunks to its consumer BEFORE
+  * pulling more input, so a task holds at most the accumulator
+  * (≤ `flushPostings` postings) plus the chunks of one flush — the
+  * partition's full chunk output never materializes, regardless of the
+  * input split size (scan splits are sized by
+  * `spark.sql.files.maxPartitionBytes`, which library callers don't
+  * control).
+  */
+private[build] object Spimi {
+
+  /** Map-side flush bound: postings accumulated per task before the partial
+    * lists are emitted as chunks (~32 MB of ids plus map overhead — well
+    * inside an executor-core's working share; flushed partial lists of one
+    * key merge on the reduce side like any other chunks, so the bound only
+    * trades chunk count for memory). */
+  val FlushPostings: Int = 4 << 20
+
+  /** Map-side state for one task: consumes inputs, accumulates per-key
+    * posting lists, emits chunks into a caller-supplied buffer. */
+  trait Accumulator[I, C] {
+    /** Consume one input. Order-break chunks (an id that would break a
+      * buffered run's monotonicity cuts the run as its own chunk) are
+      * appended to `out`. Returns the NET change in buffered posting count
+      * (appended minus emitted). */
+    def add(input: I, out: ArrayBuffer[C]): Int
+
+    /** Emit every buffered list as chunks into `out` and clear the state. */
+    def flushAll(out: ArrayBuffer[C]): Unit
+  }
+
+  /** Lazy bounded-memory chunk driver: pull inputs, flush at
+    * `flushPostings`, and YIELD emitted chunks to the consumer as soon as
+    * they exist instead of accumulating the partition's whole output.
+    * Exactly the chunks the eager loop would produce, in the same order. */
+  def chunks[I, C](input: Iterator[I], acc: Accumulator[I, C],
+                   flushPostings: Int = FlushPostings): Iterator[C] =
+    new Iterator[C] {
+      private val out = ArrayBuffer.empty[C]
+      private var pos = 0
+      private var nBuffered = 0
+      private var finished = false
+      private def fill(): Unit = {
+        if (pos < out.length) return
+        out.clear(); pos = 0
+        while (out.isEmpty && input.hasNext) {
+          nBuffered += acc.add(input.next(), out)
+          if (nBuffered >= flushPostings) { acc.flushAll(out); nBuffered = 0 }
+        }
+        if (out.isEmpty && !finished) { acc.flushAll(out); finished = true }
+      }
+      def hasNext: Boolean = { fill(); pos < out.length }
+      def next(): C = {
+        if (!hasNext) throw new NoSuchElementException("chunks exhausted")
+        val c = out(pos); pos += 1; c
+      }
+    }
+
+  /** Reduce side of the SPIMI merge: pool consecutive rows belonging to the
+    * same (key, pre_shard) group — `same` compares a row against the group's
+    * first row — and hand each pooled group to `emitGroup`, streaming its
+    * segment rows out lazily. Rows arrive grouped because the shuffle
+    * partitioned on (key, pre_shard) and sorted within partitions. */
+  def mergeGroups[C, R](rows: Iterator[C], same: (C, C) => Boolean,
+                        emitGroup: ArrayBuffer[C] => List[R]): Iterator[R] = {
+    val buf = rows.buffered
+    new Iterator[R] {
+      private var pending: List[R] = Nil
+      private def refill(): Unit =
+        while (pending.isEmpty && buf.hasNext) {
+          val head = buf.head
+          val group = ArrayBuffer.empty[C]
+          while (buf.hasNext && same(head, buf.head)) group += buf.next()
+          pending = emitGroup(group)
+        }
+      def hasNext: Boolean = { if (pending.isEmpty) refill(); pending.nonEmpty }
+      def next(): R = {
+        if (!hasNext) throw new NoSuchElementException("merge exhausted")
+        val h = pending.head; pending = pending.tail; h
+      }
+    }
+  }
+
+  /** Walk `ids[0, n)` (sorted ascending) splitting at `div`-sized doc-range
+    * boundaries: `emit(from, until, range)` once per maximal run with
+    * `ids(i) / div == range`. Used for the map-side `pre_shard` chunk split
+    * and the reduce-side head-key doc-range shard split. */
+  def splitByRange(ids: Array[Long], n: Int, div: Long)
+                  (emit: (Int, Int, Long) => Unit): Unit = {
+    var i = 0
+    while (i < n) {
+      val r = ids(i) / div
+      var j = i
+      while (j < n && ids(j) / div == r) j += 1
+      emit(i, j, r)
+      i = j
+    }
+  }
+}

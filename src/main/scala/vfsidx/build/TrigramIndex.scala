@@ -346,8 +346,15 @@ object TrigramIndex {
     import spark.implicits._
     val (lo, hi) = (batches.min, batches.max)
     val gen = s"${lo}_$hi"
-    lazy val runs =
-      spark.read.parquet(batches.map(runsBatchDir(dir, _)): _*)
+    lazy val runs = {
+      val df = spark.read.parquet(batches.map(runsBatchDir(dir, _)): _*)
+      // migration gate: tri_runs written by a pre-chunk-format build (raw
+      // (key, doc_id) rows) must fail with an instruction, not mid-merge
+      require(df.schema.fieldNames.contains("pre_shard"),
+        s"tri_runs under $dir were written by a pre-chunk-format build: " +
+          "delete the index directory and rebuild")
+      df
+    }
 
     val stDir = statsGenDir(dir, lo, hi)
     if (force || !TableIO.done(spark, stDir))
@@ -405,46 +412,43 @@ object TrigramIndex {
     }
   }
 
-  /** Map-side flush bound for the SPIMI chunker: postings accumulated per
-    * task before partial lists are emitted as chunks (~32 MB of ids plus
-    * map overhead — well inside an executor-core's working share; flushed
-    * partial lists of one key merge on the reduce side like any other
-    * chunks, so the bound only trades chunk count for memory). */
-  private[build] val FlushPostings = 4 << 20
+  /** Map-side flush bound — see [[Spimi.FlushPostings]]. */
+  private[build] val FlushPostings = Spimi.FlushPostings
 
   /** One map partition -> SPIMI chunks: accumulate per-key ascending id
     * lists (ids arrive doc-ordered within a partition), flush at
     * [[FlushPostings]], split at `preShardDocs` doc boundaries so no chunk
     * spans reducer groups. Emits (key, pre_shard, first_doc, last_doc,
-    * count, packed delta-varint bytes). */
+    * count, packed delta-varint bytes) LAZILY — task memory is bounded by
+    * the accumulator plus one flush's chunks ([[Spimi.chunks]]), not the
+    * partition's whole output. */
   private[build] def chunkPartition(it: Iterator[(Long, Long)], preShardDocs: Long,
-      flushPostings: Int): Iterator[(Long, Long, Long, Long, Int, Array[Byte])] = {
-    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Int, Array[Byte])]()
-    val map = new LongListMap()
-    var total = 0
-    def emitKey(key: Long, ids: Array[Long], len: Int): Unit = {
-      var i = 0
-      while (i < len) {
-        val ps = ids(i) / preShardDocs
-        var j = i
-        while (j < len && ids(j) / preShardDocs == ps) j += 1
-        out += ((key, ps, ids(i), ids(j - 1), j - i, VarByte.packIds(ids, i, j)))
-        i = j
+      flushPostings: Int): Iterator[(Long, Long, Long, Long, Int, Array[Byte])] =
+    Spimi.chunks(it, new TriChunkAccumulator(preShardDocs), flushPostings)
+
+  /** [[Spimi.Accumulator]] over [[LongListMap]] for ids-only trigram
+    * postings: payload = flat delta-varint id runs ([[VarByte.packIds]]). */
+  private final class TriChunkAccumulator(preShardDocs: Long)
+      extends Spimi.Accumulator[(Long, Long), (Long, Long, Long, Long, Int, Array[Byte])] {
+    private val map = new LongListMap()
+    // `cur` points at the driver's drain buffer for the duration of one
+    // add/flushAll call, so the order-break callback allocates nothing per
+    // posting in the hot loop
+    private var cur: scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Int, Array[Byte])] = _
+    private val emitKey: (Long, Array[Long], Int) => Unit = (key, ids, len) =>
+      Spimi.splitByRange(ids, len, preShardDocs) { (i, j, ps) =>
+        cur += ((key, ps, ids(i), ids(j - 1), j - i, VarByte.packIds(ids, i, j)))
       }
+    def add(kv: (Long, Long),
+            out: scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Int, Array[Byte])]): Int = {
+      cur = out
+      1 - map.append(kv._1, kv._2, emitKey)
     }
-    def flush(): Unit = {
+    def flushAll(out: scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Int, Array[Byte])]): Unit = {
+      cur = out
       map.foreach(emitKey)
       map.clear()
-      total = 0
     }
-    while (it.hasNext) {
-      val kv = it.next()
-      total -= map.append(kv._1, kv._2, emitKey)
-      total += 1
-      if (total >= flushPostings) flush()
-    }
-    flush()
-    out.iterator
   }
 
   /** Reduce side of the SPIMI merge: unpack one (key, pre_shard) group's
@@ -458,53 +462,32 @@ object TrigramIndex {
   private def mergeChunks(it: Iterator[(Long, Long, Long, Long, Int, Array[Byte])],
       saltThreshold: Long, shardSize: Long): Iterator[TriSegmentRow] = {
     val bucket = org.apache.spark.TaskContext.getPartitionId()
-    val buf = it.buffered
-    new Iterator[TriSegmentRow] {
-      private var pending: List[TriSegmentRow] = Nil
-      private def refill(): Unit = {
-        if (!buf.hasNext) return
-        val (key, ps, _, _, _, _) = buf.head
+    Spimi.mergeGroups[(Long, Long, Long, Long, Int, Array[Byte]), TriSegmentRow](
+      it, (a, b) => a._1 == b._1 && a._2 == b._2,
+      group => {
+        val key = group(0)._1
         var totalCnt = 0
-        val chunks = scala.collection.mutable.ArrayBuffer[(Int, Array[Byte])]()
-        while (buf.hasNext && buf.head._1 == key && buf.head._2 == ps) {
-          val (_, _, _, _, cnt, bytes) = buf.next()
-          chunks += ((cnt, bytes))
-          totalCnt += cnt
-        }
+        group.foreach(totalCnt += _._5)
         val ids = new Array[Long](totalCnt)
         var off = 0
-        chunks.foreach { case (cnt, bytes) =>
-          VarByte.unpackIds(bytes, cnt, ids, off)
-          off += cnt
+        group.foreach { row =>
+          VarByte.unpackIds(row._6, row._5, ids, off)
+          off += row._5
         }
         java.util.Arrays.sort(ids)
         val rows = List.newBuilder[TriSegmentRow]
-        if (totalCnt > saltThreshold) {
-          var i = 0
-          while (i < totalCnt) {
-            val shard = (ids(i) / shardSize).toInt
-            var j = i
-            while (j < totalCnt && (ids(j) / shardSize).toInt == shard) j += 1
-            val enc = VarByte.encodeIds(java.util.Arrays.copyOfRange(ids, i, j))
-            rows += TriSegmentRow(bucket, key, shard, enc.count, enc.bytes,
-              enc.blockFirst, enc.blockLast, enc.blockOff)
-            i = j
-          }
-        } else {
-          val enc = VarByte.encodeIds(ids)
-          rows += TriSegmentRow(bucket, key, 0, enc.count, enc.bytes,
+        def emit(from: Int, until: Int, shard: Int): Unit = {
+          val enc = VarByte.encodeIds(
+            if (from == 0 && until == totalCnt) ids
+            else java.util.Arrays.copyOfRange(ids, from, until))
+          rows += TriSegmentRow(bucket, key, shard, enc.count, enc.bytes,
             enc.blockFirst, enc.blockLast, enc.blockOff)
         }
-        pending = rows.result()
-      }
-      def hasNext: Boolean = { if (pending.isEmpty) refill(); pending.nonEmpty }
-      def next(): TriSegmentRow = {
-        if (pending.isEmpty) refill()
-        val h = pending.head
-        pending = pending.tail
-        h
-      }
-    }
+        if (totalCnt > saltThreshold)
+          Spimi.splitByRange(ids, totalCnt, shardSize)((i, j, s) => emit(i, j, s.toInt))
+        else emit(0, totalCnt, 0)
+        rows.result()
+      })
   }
 
   /** Primitive open-addressing long -> growable-long-array map for the

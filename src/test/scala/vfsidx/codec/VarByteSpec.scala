@@ -84,6 +84,69 @@ class VarByteSpec extends AnyFunSuite {
     assert(enc.bytes.isEmpty && enc.blocks.isEmpty && enc.count == 0)
   }
 
+  test("packIds/unpackIds round-trip, including sub-range windows") {
+    val rng = new scala.util.Random(31)
+    for (_ <- 0 until 200) {
+      val (ids, _, _) = randomPostings(rng)
+      if (ids.nonEmpty) {
+        val from = rng.nextInt(ids.length)
+        val until = from + 1 + rng.nextInt(ids.length - from)
+        val bytes = VarByte.packIds(ids, from, until)
+        val dst = new Array[Long](until - from + 3)
+        VarByte.unpackIds(bytes, until - from, dst, 3)
+        assert(dst.slice(3, 3 + until - from).toSeq == ids.slice(from, until).toSeq)
+      }
+    }
+    assert(VarByte.packIds(Array(5L, 9L), 1, 1).isEmpty)
+  }
+
+  test("packPostings/unpackPostings round-trip parallel arrays, including windows") {
+    val rng = new scala.util.Random(37)
+    for (_ <- 0 until 200) {
+      val (ids, tfs, dls) = randomPostings(rng)
+      if (ids.nonEmpty) {
+        val from = rng.nextInt(ids.length)
+        val until = from + 1 + rng.nextInt(ids.length - from)
+        val n = until - from
+        val bytes = VarByte.packPostings(ids, tfs, dls, from, until)
+        val (di, dt, dd) = (new Array[Long](n + 2), new Array[Int](n + 2), new Array[Int](n + 2))
+        VarByte.unpackPostings(bytes, n, di, dt, dd, 2)
+        assert(di.slice(2, 2 + n).toSeq == ids.slice(from, until).toSeq)
+        assert(dt.slice(2, 2 + n).toSeq == tfs.slice(from, until).toSeq)
+        assert(dd.slice(2, 2 + n).toSeq == dls.slice(from, until).toSeq)
+      }
+    }
+  }
+
+  test("sortPostings keeps parallel arrays aligned across both sort branches") {
+    val rng = new scala.util.Random(41)
+    // sizes straddle the insertion-sort cutoff (32) and go far past it so
+    // the quicksort recursion + median-of-three pivoting actually runs
+    for (n <- Seq(0, 1, 2, 31, 32, 33, 100, 1000, 50000)) {
+      // distinct ids (one posting per (term, doc)), shuffled; tf/dl are
+      // deterministic functions of the id so misalignment is detectable
+      val ids = rng.shuffle((1L to n.toLong).map(_ * 7 + 3).toVector).toArray
+      val tfs = ids.map(id => (id % 97).toInt + 1)
+      val dls = ids.map(id => (id % 1009).toInt + 1)
+      VarByte.sortPostings(ids, tfs, dls)
+      var i = 0
+      while (i < n) {
+        if (i > 0) assert(ids(i - 1) < ids(i), s"not ascending at $i (n=$n)")
+        assert(tfs(i) == (ids(i) % 97).toInt + 1, s"tf detached from id at $i (n=$n)")
+        assert(dls(i) == (ids(i) % 1009).toInt + 1, s"dl detached from id at $i (n=$n)")
+        i += 1
+      }
+    }
+    // adversarial shapes for the pivot: already-sorted, reverse-sorted
+    for (shape <- Seq((1L to 500L).toArray, (1L to 500L).reverse.toArray)) {
+      val tfs = shape.map(id => (id % 13).toInt + 1)
+      val dls = shape.map(id => (id % 17).toInt + 1)
+      VarByte.sortPostings(shape, tfs, dls)
+      assert(shape.toSeq == (1L to 500L))
+      assert(shape.indices.forall(i => tfs(i) == (shape(i) % 13).toInt + 1))
+    }
+  }
+
   test("ids-only codec: per-block decode reproduces the list, blocks cover it") {
     val rng = new scala.util.Random(23)
     for (_ <- 0 until 200) {
