@@ -256,8 +256,10 @@ object IndexBuild {
     * otherwise fail deep inside a query (`SegmentRow` encoder) or — worse —
     * mid-compaction, after new generations were already sealed. Refuse it up
     * front, loudly, with a rebuild instruction. (The trigram index needs no
-    * such check: its `tri_stats` table is also new, so pre-round-4 trigram
-    * generations already list as uncommitted.) */
+    * generations-level check: `TriSegmentRow`'s on-disk layout is unchanged,
+    * so committed trigram generations stay readable regardless of age; only
+    * `tri_runs` changed shape, and those are gated per-batch-dir at
+    * fold/resume time in its buildGeneration.) */
   private def assertSegmentFormat(spark: SparkSession, dir: String,
                                   gens: Seq[(Int, Int)]): Unit = {
     if (gens.isEmpty || formatChecked.contains(dir)) return
@@ -451,13 +453,17 @@ object IndexBuild {
     val (lo, hi) = (batches.min, batches.max)
     val gen = s"${lo}_$hi"
     lazy val chunks = {
-      val df = spark.read.parquet(batches.map(runsDir(dir, _)): _*)
       // migration gate: resuming/folding over runs written by a pre-chunk-
-      // format build must fail with an instruction, not an analysis error
-      require(df.schema.fieldNames.contains("pre_shard"),
-        s"runs under $dir were written by a pre-chunk-format build (raw " +
-          "posting rows): delete the index directory and rebuild")
-      df
+      // format build must fail with an instruction, not an analysis error.
+      // Checked PER batch dir — a merged-read schema samples one footer and
+      // would let a mixed old/new set slip through to a wrong avgdl or a
+      // mid-shuffle NPE.
+      batches.foreach { b =>
+        require(spark.read.parquet(runsDir(dir, b)).schema.fieldNames.contains("pre_shard"),
+          s"runs batch=$b under $dir was written by a pre-chunk-format " +
+            "build (raw posting rows): delete the index directory and rebuild")
+      }
+      spark.read.parquet(batches.map(runsDir(dir, _)): _*)
     }
 
     // Stats FIRST: avgdl feeds the merge's block-max bounds. avgdl ==
@@ -527,7 +533,7 @@ object IndexBuild {
                                preShardDocs: Long): DataFrame = {
     import docs.sparkSession.implicits._
     docs.mapPartitions(it =>
-      Spimi.chunks(it, new WordChunkAccumulator(preShardDocs), WordFlushPostings))
+      Spimi.chunks(it, new WordChunkAccumulator(preShardDocs)))
       .toDF("term", "pre_shard", "first_doc", "last_doc", "count", "tf_sum", "bytes")
   }
 
@@ -573,10 +579,6 @@ object IndexBuild {
     }
   }
 
-  /** Map-side flush bound for the SPIMI chunker — see
-    * [[Spimi.FlushPostings]]. */
-  private[build] val WordFlushPostings = Spimi.FlushPostings
-
   /** Reduce side of the SPIMI merge: unpack one (term, pre_shard) group's
     * chunks, sort the pooled postings by doc id (primitive parallel-array
     * sort — far cheaper than the wide-row sort a raw-postings shuffle
@@ -605,9 +607,10 @@ object IndexBuild {
         val rows = List.newBuilder[SegmentRow]
         def emit(from: Int, until: Int, shard: Int): Unit = {
           val n = until - from
-          val sIds = java.util.Arrays.copyOfRange(ids, from, until)
-          val sTfs = java.util.Arrays.copyOfRange(tfs, from, until)
-          val sDls = java.util.Arrays.copyOfRange(dls, from, until)
+          val whole = from == 0 && until == totalCnt
+          val sIds = if (whole) ids else java.util.Arrays.copyOfRange(ids, from, until)
+          val sTfs = if (whole) tfs else java.util.Arrays.copyOfRange(tfs, from, until)
+          val sDls = if (whole) dls else java.util.Arrays.copyOfRange(dls, from, until)
           val enc = VarByte.encode(sIds, sTfs, sDls, avgdl, K1, B)
           var ts = 0L
           var k = 0
@@ -651,6 +654,10 @@ object IndexBuild {
   def ingestBatch(spark: SparkSession, newDocs: Dataset[SourceFile], dir: String,
                   batchId: Int, cfg: BuildConfig = BuildConfig()): Unit = {
     import spark.implicits._
+    // migration gate up front: refusing a pre-chunk-format index only AFTER
+    // this batch sealed its generation would leave the operator rebuilding
+    // an index that already ingested new data ([[assertSegmentFormat]])
+    generations(spark, dir)
     val rDir = runsDir(dir, batchId)
     val dsDir = docStatsBatchDir(dir, batchId.toString)
     val genDone = TableIO.done(spark, segmentsGenDir(dir, batchId, batchId)) &&

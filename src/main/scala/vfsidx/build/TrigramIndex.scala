@@ -193,7 +193,7 @@ object TrigramIndex {
       .mapPartitions { rows =>
         chunkPartition(rows.flatMap { case (id, s) =>
           Tokenizer.distinctTriKeys(if (s == null) "" else s).map(k => (k, id))
-        }, preShardDocs, FlushPostings)
+        }, preShardDocs, Spimi.FlushPostings)
       }
       .toDF("key", "pre_shard", "first_doc", "last_doc", "count", "bytes")
   }
@@ -347,18 +347,23 @@ object TrigramIndex {
     val (lo, hi) = (batches.min, batches.max)
     val gen = s"${lo}_$hi"
     lazy val runs = {
-      val df = spark.read.parquet(batches.map(runsBatchDir(dir, _)): _*)
       // migration gate: tri_runs written by a pre-chunk-format build (raw
-      // (key, doc_id) rows) must fail with an instruction, not mid-merge
-      require(df.schema.fieldNames.contains("pre_shard"),
-        s"tri_runs under $dir were written by a pre-chunk-format build: " +
-          "delete the index directory and rebuild")
-      df
+      // (key, doc_id) rows) must fail with an instruction, not mid-merge.
+      // Checked PER batch dir (a merged-read schema samples one footer and
+      // would let a mixed old/new batch set through).
+      batches.foreach { b =>
+        require(spark.read.parquet(runsBatchDir(dir, b)).schema.fieldNames.contains("pre_shard"),
+          s"tri_runs batch=$b under $dir was written by a pre-chunk-format " +
+            "build: delete the index directory and rebuild")
+      }
+      spark.read.parquet(batches.map(runsBatchDir(dir, _)): _*)
     }
 
     val stDir = statsGenDir(dir, lo, hi)
-    if (force || !TableIO.done(spark, stDir))
+    if (force || !TableIO.done(spark, stDir)) {
+      runs // force the runs-format gate BEFORE the generation's first write
       TableIO.write(Seq(TriStats(nRows, maxDocId)).toDF(), stDir)
+    }
 
     val segDir = segmentsGenDir(dir, lo, hi)
     if (force || !TableIO.done(spark, segDir)) timed(s"tri_segments:$gen") {
@@ -366,7 +371,7 @@ object TrigramIndex {
       // SPIMI chunked merge (north_star: "per-partition posting lists ...
       // sort-merge them into a global segmented inverted index"): the map
       // side accumulates per-partition key -> ascending-id lists in bounded
-      // memory (flushing at FlushPostings) and emits delta-varint CHUNKS;
+      // memory (flushing at Spimi.FlushPostings) and emits delta-varint CHUNKS;
       // only chunks cross the shuffle — an order of magnitude fewer rows
       // and ~5x fewer bytes than shuffling raw (key, doc_id) postings. The
       // wide-row posting sort disappears: the reduce side sorts only each
@@ -412,12 +417,9 @@ object TrigramIndex {
     }
   }
 
-  /** Map-side flush bound — see [[Spimi.FlushPostings]]. */
-  private[build] val FlushPostings = Spimi.FlushPostings
-
   /** One map partition -> SPIMI chunks: accumulate per-key ascending id
     * lists (ids arrive doc-ordered within a partition), flush at
-    * [[FlushPostings]], split at `preShardDocs` doc boundaries so no chunk
+    * [[Spimi.FlushPostings]], split at `preShardDocs` doc boundaries so no chunk
     * spans reducer groups. Emits (key, pre_shard, first_doc, last_doc,
     * count, packed delta-varint bytes) LAZILY — task memory is bounded by
     * the accumulator plus one flush's chunks ([[Spimi.chunks]]), not the
