@@ -245,6 +245,37 @@ object IndexBuild {
   private def genTables(dir: String)(l: Int, h: Int): Seq[String] =
     Seq(segmentsGenDir(dir, l, h), dictGenDir(dir, l, h), statsGenDir(dir, l, h))
 
+  /** Token-validated per-directory cache for merged index stats — ONE
+    * implementation shared by the trigram and numeric indexes (they used to
+    * carry near-verbatim copies). The validity token is each stats table's
+    * FILE LISTING (names + lengths + mtimes): Spark part-file names embed a
+    * fresh UUID per write, so any rewrite — even one landing on the same
+    * mtime tick, the edge a bare `_SUCCESS`-mtime token missed — changes
+    * the token and invalidates the entry. One entry per directory key; a
+    * long-lived driver replaces, never accumulates. */
+  private[build] final class StatsCache[T] {
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, (String, T)]()
+    /** Validity token over the given stats-table dirs. */
+    def token(spark: SparkSession, dirs: Seq[String]): String = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      dirs.map { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        val fs = p.getFileSystem(conf)
+        fs.listStatus(p)
+          .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+          .sorted.mkString(d + "[", ",", "]")
+      }.mkString(",")
+    }
+    def getOrCompute(key: String, tok: String)(compute: => T): T =
+      Option(cache.get(key)).collect { case (t, v) if t == tok => v }
+        .getOrElse {
+          val v = compute
+          cache.put(key, (tok, v))
+          v
+        }
+  }
+
   /** Dirs whose on-disk format has been verified, per JVM (one parquet
     * footer read per generation on the first [[generations]] call). */
   private val formatChecked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()

@@ -196,15 +196,12 @@ object NumericIndex {
     }
   }
 
-  /** Per-column merged-stats cache: colDir → (validity token, stats). The
-    * token is the committed generation list plus each stats table's
-    * `_SUCCESS` mtime, so a rebuilt or refreshed index at the same path can
-    * never serve stale cached stats (a stale `integral=true` would keep
-    * range walks strict on a now-fractional source and silently drop
-    * boundary rows). One entry per column — a refreshing long-lived driver
-    * replaces, never accumulates. */
-  private val statsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, NumStats)]()
+  /** Per-column merged-stats cache (shared token-validated machinery:
+    * [[IndexBuild.StatsCache]]): a rebuilt or refreshed index at the same
+    * path can never serve stale cached stats — a stale `integral=true`
+    * would keep range walks strict on a now-fractional source and silently
+    * drop boundary rows. */
+  private val statsCache = new IndexBuild.StatsCache[NumStats]
 
   /** Merged persisted build stats; None while no generation is committed
     * (e.g. a build crash-resumed between the data and stats commits).
@@ -215,28 +212,16 @@ object NumericIndex {
     import spark.implicits._
     val gens = generations(spark, root, column)
     if (gens.isEmpty) return None
-    val fs = new org.apache.hadoop.fs.Path(colDir(root, column))
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val token = gens.map { case (l, h) =>
-      val s = fs.getFileStatus(
-        new org.apache.hadoop.fs.Path(statsGenDir(root, column, l, h), "_SUCCESS"))
-      s"${l}_$h@${s.getModificationTime}"
-    }.mkString(",")
+    val dirs = gens.map { case (l, h) => statsGenDir(root, column, l, h) }
     val key = colDir(root, column)
-    Option(statsCache.get(key)).collect {
-      case (t, st) if t == token => st
-    }.orElse {
-      val rows = spark.read
-        .parquet(gens.map { case (l, h) => statsGenDir(root, column, l, h) }: _*)
-        .as[NumStats].collect()
-      val merged = NumStats(
+    Some(statsCache.getOrCompute(key, statsCache.token(spark, dirs)) {
+      val rows = spark.read.parquet(dirs: _*).as[NumStats].collect()
+      NumStats(
         rows.map(_.n_rows).sum,
         rows.forall(_.integral),
         mergeQuantiles(rows.map(r => (r.n_rows, r.quantiles)).toSeq),
         if (rows.isEmpty) -1L else rows.map(_.max_doc_id).max)
-      statsCache.put(key, (token, merged))
-      Some(merged)
-    }
+    })
   }
 
   /** n-weighted pooling of per-generation equi-probability sketches into

@@ -112,36 +112,22 @@ object TrigramIndex {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
   }
 
-  /** Per-index merged-stats cache: dir → (validity token, stats); the token
-    * is the committed generation list + each stats table's `_SUCCESS`
-    * mtime, so refreshes/compactions/rebuilds invalidate naturally. One
-    * entry per index dir (bounded). Same scheme as NumericIndex.stats. */
-  private val statsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, TriStats)]()
+  /** Per-index merged-stats cache (shared token-validated machinery:
+    * [[IndexBuild.StatsCache]] — refreshes/compactions/rebuilds invalidate
+    * via the stats tables' file listings). */
+  private val statsCache = new IndexBuild.StatsCache[TriStats]
 
   /** Merged per-generation stats; None while no generation is committed. */
   def statsMerged(spark: SparkSession, dir: String): Option[TriStats] = {
     import spark.implicits._
     val gens = generations(spark, dir)
     if (gens.isEmpty) return None
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val token = gens.map { case (l, h) =>
-      val s = fs.getFileStatus(
-        new org.apache.hadoop.fs.Path(statsGenDir(dir, l, h), "_SUCCESS"))
-      s"${l}_$h@${s.getModificationTime}"
-    }.mkString(",")
-    Option(statsCache.get(dir)).collect {
-      case (t, st) if t == token => st
-    }.orElse {
-      val rows = spark.read
-        .parquet(gens.map { case (l, h) => statsGenDir(dir, l, h) }: _*)
-        .as[TriStats].collect()
-      val merged = TriStats(rows.map(_.n_rows).sum,
+    val dirs = gens.map { case (l, h) => statsGenDir(dir, l, h) }
+    Some(statsCache.getOrCompute(dir, statsCache.token(spark, dirs)) {
+      val rows = spark.read.parquet(dirs: _*).as[TriStats].collect()
+      TriStats(rows.map(_.n_rows).sum,
         if (rows.isEmpty) -1L else rows.map(_.max_doc_id).max)
-      statsCache.put(dir, (token, merged))
-      Some(merged)
-    }
+    })
   }
 
   /** Highest doc id any committed generation has indexed — the staleness

@@ -272,14 +272,30 @@ object QueryParser {
     * missing its stats is simply not committed (not consulted at all). */
   val MaxIndexSelectivity = 0.25
 
-  /** Candidate doc_ids for ONE conjunct group, intersected across its
-    * indexed conjuncts; None when no conjunct is indexable (the group needs
-    * a scan anyway). Exactness is never at stake: candidates are a superset
-    * and every predicate is re-applied by [[queryIndexed]]. */
-  private def groupCandidates(spark: SparkSession, exprs: Seq[Expr],
-                              tableWatermark: => Option[(Long, Long)],
-                              indexRoot: String,
-                              searchMemo: scala.collection.mutable.Map[(String, String), DataFrame]): Option[DataFrame] = {
+  /** Stable identity of one candidate set — the memo key AND the unit of
+    * common-conjunct hoisting across DNF groups. */
+  private final case class CandKey(kind: String, col: String, detail: String)
+
+  /** Per-[[queryIndexed]]-call memo. DNF distribution repeats the same
+    * conjunct in many groups (`s && (a || b)` puts `s` in both); memoizing
+    * here means each distinct candidate set is PLANNED once, each column's
+    * freshness is checked once (one round of generation-listing filesystem
+    * calls instead of one per conjunct per group — on an object store
+    * that's the difference between 2 and ~2×groups×conjuncts metadata
+    * round-trips), and the staleness warning prints once per column. */
+  private final class QueryMemo(spark: SparkSession, indexRoot: String,
+                                tableWatermark: () => Option[(Long, Long)]) {
+    private val cand = scala.collection.mutable.Map.empty[CandKey, DataFrame]
+    private val freshM = scala.collection.mutable.Map.empty[String, Boolean]
+    private val numStatsM =
+      scala.collection.mutable.Map.empty[String, Option[vfsidx.build.NumStats]]
+
+    def candidate(key: CandKey)(build: => DataFrame): (CandKey, DataFrame) =
+      key -> cand.getOrElseUpdate(key, build)
+
+    def numStats(c: String): Option[vfsidx.build.NumStats] =
+      numStatsM.getOrElseUpdate(c, NumericIndex.stats(spark, indexRoot, c))
+
     // STALENESS GUARD: an index that covers fewer rows than the table, or
     // whose max-doc-id watermark is below the table's max id, has rows it
     // never saw (the `regist` -> table-grows -> `query --index` hazard) —
@@ -289,16 +305,27 @@ object QueryParser {
     // the guard's contract (append-only tables). A stale conjunct degrades
     // to a scan predicate (always correct); re-running `regist`
     // (buildIndexes) restores the fast path.
-    def fresh(what: String, covered: Option[(Long, Long)]): Boolean = covered match {
-      case None => false
-      case Some((cn, cmax)) =>
-        val ok = tableWatermark.forall { case (n, maxId) => n == cn && maxId <= cmax }
-        if (!ok) System.err.println(
-          s"vfsidx: $what index is STALE (covers $cn rows, ids <= $cmax; table " +
-            s"has ${tableWatermark.get._1} rows, max id ${tableWatermark.get._2}) " +
-            "- falling back to scan; re-run regist to refresh")
-        ok
-    }
+    def fresh(what: String, covered: => Option[(Long, Long)]): Boolean =
+      freshM.getOrElseUpdate(what, covered match {
+        case None => false
+        case Some((cn, cmax)) =>
+          val ok = tableWatermark().forall { case (n, maxId) => n == cn && maxId <= cmax }
+          if (!ok) System.err.println(
+            s"vfsidx: $what index is STALE (covers $cn rows, ids <= $cmax; table " +
+              s"has ${tableWatermark().get._1} rows, max id ${tableWatermark().get._2}) " +
+              "- falling back to scan; re-run regist to refresh")
+          ok
+      })
+  }
+
+  /** Candidate doc_ids for ONE conjunct group, one (key, set) pair per
+    * indexed conjunct — intersected by the caller, which first hoists keys
+    * common to every group; None when no conjunct is indexable (the group
+    * needs a scan anyway). Exactness is never at stake: candidates are a
+    * superset and every predicate is re-applied by [[queryIndexed]]. */
+  private def groupCandidates(spark: SparkSession, exprs: Seq[Expr],
+                              indexRoot: String,
+                              memo: QueryMemo): Option[Seq[(CandKey, DataFrame)]] = {
     // string equality shares the reference's containment semantics
     // (search_cond.go:728-791), so it consults the same trigram index;
     // the re-applied predicate keeps it exact either way
@@ -309,15 +336,12 @@ object QueryParser {
     // rule as TrigramIndex.searchExact's full-scan bypass)
     def indexable(c: String, s: String): Boolean =
       Tokenizer.triKeys(s).nonEmpty && TrigramIndex.wellFormedUtf16(s) &&
-        fresh(s"tri/$c", TrigramIndex.statsMerged(spark, triDir(indexRoot, c))
+        memo.fresh(s"tri/$c", TrigramIndex.statsMerged(spark, triDir(indexRoot, c))
           .map(st => (st.n_rows, st.max_doc_id)))
-    // memoized per (column, needle) across conjunct groups: a DNF query
-    // like `s && (a || b)` repeats the same search in every distributed
-    // group — one candidate plan serves them all
-    def candidates(c: String, s: String): DataFrame =
-      searchMemo.getOrElseUpdate((c, s),
+    def candidates(c: String, s: String): (CandKey, DataFrame) =
+      memo.candidate(CandKey("tri", c, s))(
         TrigramIndex.searchCandidates(spark, triDir(indexRoot, c), s))
-    val searchSets: Seq[DataFrame] = exprs.flatMap {
+    val searchSets: Seq[(CandKey, DataFrame)] = exprs.flatMap {
       case Search(c, s) if indexable(c, s) => Some(candidates(c, s))
       case Cmp(c, "==", Right(s)) if indexable(c, s) => Some(candidates(c, s))
       case _ => None
@@ -331,7 +355,7 @@ object QueryParser {
     val numBounds = scala.collection.mutable.LinkedHashMap[String, Bounds]()
     exprs.foreach {
       case Cmp(c, op, Left(v)) if op != "!=" &&
-          fresh(s"num/$c", NumericIndex.stats(spark, indexRoot, c)
+          memo.fresh(s"num/$c", memo.numStats(c)
             .map(st => (st.n_rows, st.max_doc_id))) =>
         val b = numBounds.getOrElse(c, Bounds(None, None, None, contradiction = false))
         val nb = op match {
@@ -354,25 +378,29 @@ object QueryParser {
     // index-vs-scan gate from persisted stats — no query-time jobs (stats
     // commit with every generation, so a consulted index always has them)
     def selective(col: String, lo: Option[Long], hi: Option[Long],
-                  cand: => DataFrame): Option[DataFrame] =
-      NumericIndex.stats(spark, indexRoot, col).flatMap { st =>
-        if (NumericIndex.estimateFraction(st, lo, hi) <= MaxIndexSelectivity) Some(cand)
+                  key: CandKey, cand: => DataFrame): Option[(CandKey, DataFrame)] =
+      memo.numStats(col).flatMap { st =>
+        if (NumericIndex.estimateFraction(st, lo, hi) <= MaxIndexSelectivity)
+          Some(memo.candidate(key)(cand))
         else None
       }
-    val numSets: Seq[DataFrame] = numBounds.toSeq.flatMap { case (c, b) =>
-      if (b.contradiction) Some(spark.range(0).toDF("doc_id"))
+    val numSets: Seq[(CandKey, DataFrame)] = numBounds.toSeq.flatMap { case (c, b) =>
+      if (b.contradiction)
+        Some(memo.candidate(CandKey("num", c, "contradiction"))(
+          spark.range(0).toDF("doc_id")))
       else b.eq match {
         case Some(v) =>
-          selective(c, Some(v), Some(v), NumericIndex.point(spark, indexRoot, c, v))
+          selective(c, Some(v), Some(v), CandKey("num", c, s"eq=$v"),
+            NumericIndex.point(spark, indexRoot, c, v))
         case None =>
           selective(c, b.lo.map(_._1), b.hi.map(_._1),
+            CandKey("num", c, s"${b.lo.mkString}..${b.hi.mkString}"),
             NumericIndex.range(spark, indexRoot, c, b.lo.map(_._1), b.hi.map(_._1),
               loInclusive = b.lo.forall(_._2), hiInclusive = b.hi.exists(_._2)))
       }
     }
     val candSets = searchSets ++ numSets
-    if (candSets.isEmpty) None
-    else Some(candSets.reduce((a, b) => a.join(b, "doc_id")))
+    if (candSets.isEmpty) None else Some(candSets)
   }
 
   /** Indexed execution of the reference query language — the dispatch the
@@ -390,6 +418,14 @@ object QueryParser {
     * QueryParserSpec/TrigramIndexSpec). With any group lacking an indexable
     * conjunct this degrades to [[query]] (candidates could not bound that
     * group's rows).
+    *
+    * Candidate sets COMMON to every `||`-group are HOISTED above the union:
+    * intersection distributes over union, so
+    * `∪_g (common ∩ residual_g) = common ∩ ∪_g residual_g` — the shared
+    * subtree (often the expensive segment scan of a repeated search) appears
+    * ONCE in the final plan instead of once per union branch. A group whose
+    * candidates are ALL common contributes no residual restriction, so the
+    * union term drops entirely and `common` alone bounds the rows.
     */
   def queryIndexed(spark: SparkSession, df: DataFrame, idCol: String,
                    indexRoot: String, q: String): DataFrame = {
@@ -403,13 +439,26 @@ object QueryParser {
       val r = df.agg(count(lit(1)), max(col(idCol).cast("long"))).head()
       if (r.getLong(0) == 0L) None else Some((r.getLong(0), r.getLong(1)))
     }
-    val searchMemo = scala.collection.mutable.Map.empty[(String, String), DataFrame]
-    val sets = groups.map(g =>
-      groupCandidates(spark, g, tableWatermark, indexRoot, searchMemo))
+    val memo = new QueryMemo(spark, indexRoot, () => tableWatermark)
+    val sets = groups.map(g => groupCandidates(spark, g, indexRoot, memo))
+    def intersect(dfs: Seq[DataFrame]): DataFrame =
+      dfs.reduce((a, b) => a.join(b, "doc_id"))
     val base =
       if (sets.exists(_.isEmpty)) df
       else {
-        val ids = sets.flatten.reduce(_ unionByName _)
+        val perGroup: Seq[Seq[(CandKey, DataFrame)]] = sets.flatten
+        val common = perGroup.map(_.map(_._1).toSet).reduce(_ intersect _)
+        val residuals = perGroup.map(_.filterNot(kv => common(kv._1)).map(_._2))
+        val ids =
+          if (common.isEmpty)
+            perGroup.map(g => intersect(g.map(_._2))).reduce(_ unionByName _)
+          else {
+            val commonIds = intersect(
+              perGroup.head.filter(kv => common(kv._1)).distinctBy(_._1).map(_._2))
+            if (residuals.exists(_.isEmpty)) commonIds
+            else commonIds.join(
+              residuals.map(intersect).reduce(_ unionByName _), "doc_id")
+          }
         df.join(ids.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_semi")
       }
     base.filter(groups.map(groupPredicate).reduce(_ || _))

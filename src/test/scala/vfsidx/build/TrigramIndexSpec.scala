@@ -132,7 +132,16 @@ class TrigramIndexSpec extends SparkTestBase {
       // string == is containment (reference semantics) and consults the
       // trigram index like .search()
       """text == "the batch" && num < 50""",
-      """text == "鬼滅の刃"""")
+      """text == "鬼滅の刃"""",
+      // common-conjunct hoisting: the repeated search is common to every
+      // DNF group and must be planned once above the union
+      """text.search("the batch") && (num == 44 || num >= 90)""",
+      // one group's candidates are ALL common -> residual-empty path
+      """text.search("the batch") && (num == 44 || num == 45) || text.search("the batch")""",
+      // common numeric conjunct across groups
+      """num == 44 && text.search("the batch") || num == 44 && text.search("merge")""",
+      // partially-overlapping (NOT common to all three) stays per-group
+      """text.search("the batch") && num == 44 || text.search("merge") && num == 44 || num == 45""")
     for (e <- exprs) {
       val a = QueryParser.queryIndexed(spark, df, "doc_id", root, e)
         .orderBy($"doc_id").collect().toSeq
