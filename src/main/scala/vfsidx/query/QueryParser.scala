@@ -283,15 +283,20 @@ object QueryParser {
     * calls instead of one per conjunct per group — on an object store
     * that's the difference between 2 and ~2×groups×conjuncts metadata
     * round-trips), and the staleness warning prints once per column. */
-  private final class QueryMemo(spark: SparkSession, indexRoot: String,
+  private final class QueryMemo(val spark: SparkSession, val indexRoot: String,
                                 tableWatermark: () => Option[(Long, Long)]) {
     private val cand = scala.collection.mutable.Map.empty[CandKey, DataFrame]
     private val freshM = scala.collection.mutable.Map.empty[String, Boolean]
     private val numStatsM =
       scala.collection.mutable.Map.empty[String, Option[vfsidx.build.NumStats]]
 
-    def candidate(key: CandKey)(build: => DataFrame): (CandKey, DataFrame) =
-      key -> cand.getOrElseUpdate(key, build)
+    /** A LAZY handle: the candidate DataFrame is built (and memoized) only
+      * when the thunk is forced. Keys alone drive the hoisting decision, so
+      * sets the hoist discards — a residual dropped by a residual-empty
+      * group, or everything when some group is unindexable — never pay
+      * their planning cost (searchCandidates runs eager driver collects). */
+    def candidate(key: CandKey)(build: => DataFrame): (CandKey, () => DataFrame) =
+      key -> (() => cand.getOrElseUpdate(key, build))
 
     def numStats(c: String): Option[vfsidx.build.NumStats] =
       numStatsM.getOrElseUpdate(c, NumericIndex.stats(spark, indexRoot, c))
@@ -318,14 +323,15 @@ object QueryParser {
       })
   }
 
-  /** Candidate doc_ids for ONE conjunct group, one (key, set) pair per
+  /** Candidate doc_ids for ONE conjunct group, one (key, lazy set) pair per
     * indexed conjunct — intersected by the caller, which first hoists keys
-    * common to every group; None when no conjunct is indexable (the group
-    * needs a scan anyway). Exactness is never at stake: candidates are a
-    * superset and every predicate is re-applied by [[queryIndexed]]. */
-  private def groupCandidates(spark: SparkSession, exprs: Seq[Expr],
-                              indexRoot: String,
-                              memo: QueryMemo): Option[Seq[(CandKey, DataFrame)]] = {
+    * common to every group and forces only the surviving thunks; None when
+    * no conjunct is indexable (the group needs a scan anyway). Exactness is
+    * never at stake: candidates are a superset and every predicate is
+    * re-applied by [[queryIndexed]]. */
+  private def groupCandidates(exprs: Seq[Expr],
+                              memo: QueryMemo): Option[Seq[(CandKey, () => DataFrame)]] = {
+    import memo.{spark, indexRoot}
     // string equality shares the reference's containment semantics
     // (search_cond.go:728-791), so it consults the same trigram index;
     // the re-applied predicate keeps it exact either way
@@ -338,10 +344,10 @@ object QueryParser {
       Tokenizer.triKeys(s).nonEmpty && TrigramIndex.wellFormedUtf16(s) &&
         memo.fresh(s"tri/$c", TrigramIndex.statsMerged(spark, triDir(indexRoot, c))
           .map(st => (st.n_rows, st.max_doc_id)))
-    def candidates(c: String, s: String): (CandKey, DataFrame) =
+    def candidates(c: String, s: String): (CandKey, () => DataFrame) =
       memo.candidate(CandKey("tri", c, s))(
         TrigramIndex.searchCandidates(spark, triDir(indexRoot, c), s))
-    val searchSets: Seq[(CandKey, DataFrame)] = exprs.flatMap {
+    val searchSets: Seq[(CandKey, () => DataFrame)] = exprs.flatMap {
       case Search(c, s) if indexable(c, s) => Some(candidates(c, s))
       case Cmp(c, "==", Right(s)) if indexable(c, s) => Some(candidates(c, s))
       case _ => None
@@ -378,13 +384,13 @@ object QueryParser {
     // index-vs-scan gate from persisted stats — no query-time jobs (stats
     // commit with every generation, so a consulted index always has them)
     def selective(col: String, lo: Option[Long], hi: Option[Long],
-                  key: CandKey, cand: => DataFrame): Option[(CandKey, DataFrame)] =
+                  key: CandKey, cand: => DataFrame): Option[(CandKey, () => DataFrame)] =
       memo.numStats(col).flatMap { st =>
         if (NumericIndex.estimateFraction(st, lo, hi) <= MaxIndexSelectivity)
           Some(memo.candidate(key)(cand))
         else None
       }
-    val numSets: Seq[(CandKey, DataFrame)] = numBounds.toSeq.flatMap { case (c, b) =>
+    val numSets: Seq[(CandKey, () => DataFrame)] = numBounds.toSeq.flatMap { case (c, b) =>
       if (b.contradiction)
         Some(memo.candidate(CandKey("num", c, "contradiction"))(
           spark.range(0).toDF("doc_id")))
@@ -440,24 +446,26 @@ object QueryParser {
       if (r.getLong(0) == 0L) None else Some((r.getLong(0), r.getLong(1)))
     }
     val memo = new QueryMemo(spark, indexRoot, () => tableWatermark)
-    val sets = groups.map(g => groupCandidates(spark, g, indexRoot, memo))
+    val sets = groups.map(g => groupCandidates(g, memo))
     def intersect(dfs: Seq[DataFrame]): DataFrame =
       dfs.reduce((a, b) => a.join(b, "doc_id"))
     val base =
       if (sets.exists(_.isEmpty)) df
       else {
-        val perGroup: Seq[Seq[(CandKey, DataFrame)]] = sets.flatten
+        val perGroup: Seq[Seq[(CandKey, () => DataFrame)]] = sets.flatten
         val common = perGroup.map(_.map(_._1).toSet).reduce(_ intersect _)
-        val residuals = perGroup.map(_.filterNot(kv => common(kv._1)).map(_._2))
+        val residuals = perGroup.map(_.filterNot(kv => common(kv._1)))
+        // force ONLY the surviving thunks: residuals are dropped wholesale
+        // when some group's candidates are all common
         val ids =
           if (common.isEmpty)
-            perGroup.map(g => intersect(g.map(_._2))).reduce(_ unionByName _)
+            perGroup.map(g => intersect(g.map(_._2()))).reduce(_ unionByName _)
           else {
             val commonIds = intersect(
-              perGroup.head.filter(kv => common(kv._1)).distinctBy(_._1).map(_._2))
+              perGroup.head.filter(kv => common(kv._1)).distinctBy(_._1).map(_._2()))
             if (residuals.exists(_.isEmpty)) commonIds
             else commonIds.join(
-              residuals.map(intersect).reduce(_ unionByName _), "doc_id")
+              residuals.map(g => intersect(g.map(_._2()))).reduce(_ unionByName _), "doc_id")
           }
         df.join(ids.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_semi")
       }
