@@ -22,12 +22,20 @@ import vfsidx.query.Bm25Index
   *                                                 files as a sealed generation
   *   vfsidx.Main compact <indexDir> [full]         fold segment generations
   *                                                 (tail by default, all with `full`)
+  *   vfsidx.Main info <dir>                        index status + per-key posting
+  *                                                 counts (reference `vfs-index info`,
+  *                                                 /root/reference/cmd/vfs-index/main.go:85-96)
+  *   vfsidx.Main clean <dir>                       reclaim retired generation dirs
+  *                                                 (reference `vfs-index clean` ->
+  *                                                 Column.CleanDirs,
+  *                                                 /root/reference/column.go:638-641)
   *
   * Global flags:
   *   --output=json|csv    stream results as JSON lines / RFC-4180 CSV
   *                        (reference S9, /root/reference/search_finder.go:426-488)
   *   --index=<root>       `query` executes against the indexes under <root>
   *                        (built with `regist`) instead of a full scan
+  *   --keys=<n>           `info`: how many per-key rows to print (default 10)
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -51,23 +59,25 @@ object Main {
     * `--ouput=json`) must not be silently ignored, and the error names the
     * token so a needle that genuinely starts with `--` is at least loud
     * (quote-free CLI parsing can't distinguish the two). */
-  private val knownFlags = Set("output", "index", "id")
+  private val knownFlags = Set("output", "index", "id", "keys")
 
   def run(spark: SparkSession, allArgs: Array[String]): Unit = {
     val output = flag(allArgs, "output").getOrElse("plain")
     val indexRoot = flag(allArgs, "index")
     val idCol = flag(allArgs, "id")
+    val keys = flag(allArgs, "keys")
     val isKnown = (s: String) => knownFlags.exists(k => s.startsWith(s"--$k="))
     allArgs.find(a => a.startsWith("--") && !isKnown(a)).foreach { bad =>
-      System.err.println(s"unknown flag: $bad (recognized: --output=json|csv, --index=<root>, --id=<col>)")
+      System.err.println(s"unknown flag: $bad (recognized: --output=json|csv, --index=<root>, --id=<col>, --keys=<n>)")
       sys.exit(2)
     }
     val args = allArgs.filterNot(isKnown)
-    dispatch(spark, args, output, indexRoot, idCol)
+    dispatch(spark, args, output, indexRoot, idCol, keys)
   }
 
   def dispatch(spark: SparkSession, args: Array[String], output: String,
-               indexRoot: Option[String], idFlag: Option[String] = None): Unit = args.toList match {
+               indexRoot: Option[String], idFlag: Option[String] = None,
+               keysFlag: Option[String] = None): Unit = args.toList match {
     case "build" :: dir :: rest =>
       val n = rest.headOption.map(_.toLong).getOrElse(10000L)
       val t0 = System.nanoTime()
@@ -125,6 +135,85 @@ object Main {
       val n = vfsidx.build.IndexBuild.docCount(spark, dir)
       val gens = IndexBuild.generations(spark, dir).size
       println(f"refreshed: $nFiles new files / $nNew new docs from $dataDir in ${(System.nanoTime() - t0) / 1e9}%.1f s; index now covers $n docs in $gens generation(s) -> $dir")
+    case "info" :: dir :: Nil =>
+      // the reference's `vfs-index info` dumps per-key posting counts of an
+      // index file (key=0x… count=…, /root/reference/cmd/vfs-index/main.go:
+      // info()); ours reports every index under <dir> — the word/BM25 index
+      // and regist-ed per-column trigram/numeric indexes — with generation
+      // layout, coverage stats, and the top-df dictionary rows in the
+      // reference's key=…/count=… form
+      import org.apache.spark.sql.functions.{asc, desc, sum => sqlSum}
+      val topN = keysFlag.map(_.toInt).getOrElse(10)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def subdirs(p: String): Seq[String] = {
+        val path = new org.apache.hadoop.fs.Path(p)
+        if (!fs.exists(path)) Seq.empty
+        else fs.listStatus(path).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
+      }
+      var any = false
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/segments"))) {
+        any = true
+        val gens = IndexBuild.generations(spark, dir)
+        val stats = IndexBuild.readStatsRaw(spark, dir).collect()
+        val n = stats.map(_.n_docs).sum
+        val tf = stats.map(_.tf_sum).sum
+        println(f"word index: $n docs, avgdl=${if (n == 0) 0.0 else tf.toDouble / n}%.1f, " +
+          s"${gens.size} generation(s) " +
+          gens.map { case (l, h) => s"gen=${l}_$h" }.mkString("[", " ", "]"))
+        IndexBuild.readDictRaw(spark, dir)
+          .groupBy("term").agg(sqlSum("df").as("df"))
+          .orderBy(desc("df"), asc("term")).limit(topN).collect()
+          .foreach(r => println(s"  term=${r.getString(0)} count=${r.getLong(1)}"))
+      }
+      subdirs(s"$dir/tri").foreach { c =>
+        any = true
+        val d = vfsidx.query.QueryParser.triDir(dir, c)
+        vfsidx.build.TrigramIndex.statsMerged(spark, d) match {
+          case Some(st) =>
+            val gens = vfsidx.build.TrigramIndex.generations(spark, d)
+            println(s"tri/$c: ${st.n_rows} rows, max_doc_id=${st.max_doc_id}, " +
+              s"${gens.size} generation(s)")
+            vfsidx.build.TrigramIndex.readDictRaw(spark, d)
+              .groupBy("key").agg(sqlSum("df").as("df"))
+              .orderBy(desc("df"), asc("key")).limit(topN).collect()
+              .foreach(r => println(f"  key=0x${r.getLong(0)}%012x count=${r.getLong(1)}"))
+          case None => println(s"tri/$c: no committed generations")
+        }
+      }
+      subdirs(s"$dir/num").foreach { c =>
+        any = true
+        vfsidx.build.NumericIndex.stats(spark, dir, c) match {
+          case Some(st) =>
+            val gens = vfsidx.build.NumericIndex.generations(spark, dir, c)
+            println(s"num/$c: ${st.n_rows} rows, max_doc_id=${st.max_doc_id}, " +
+              s"integral=${st.integral}, ${gens.size} generation(s)")
+          case None => println(s"num/$c: no committed generations")
+        }
+      }
+      if (!any) println(s"no index found under $dir")
+    case "clean" :: dir :: Nil =>
+      // the reference's `vfs-index clean` -> Column.CleanDirs (reclaim
+      // stale index dirs, /root/reference/column.go:638-641): vacuum every
+      // index under <dir> — deletes RETIRED generations (folded into a
+      // wider committed one), the expire-snapshots analogue
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def subdirs(p: String): Seq[String] = {
+        val path = new org.apache.hadoop.fs.Path(p)
+        if (!fs.exists(path)) Seq.empty
+        else fs.listStatus(path).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
+      }
+      var cnt = 0
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/segments")))
+        cnt += IndexBuild.vacuum(spark, dir)
+      subdirs(s"$dir/tri").foreach { c =>
+        cnt += vfsidx.build.TrigramIndex.vacuum(spark,
+          vfsidx.query.QueryParser.triDir(dir, c))
+      }
+      subdirs(s"$dir/num").foreach(c =>
+        cnt += vfsidx.build.NumericIndex.vacuum(spark, dir, c))
+      println(s"cleaned $dir: reclaimed $cnt retired generation(s)")
     case "query" :: table :: exprParts if exprParts.nonEmpty =>
       val expr = exprParts.mkString(" ")
       val df = spark.read.parquet(table)
@@ -153,7 +242,7 @@ object Main {
         rows.foreach(r => println("  " + r.mkString(" | ").take(120)))
       } else vfsidx.query.ResultEncoder.emit(res, output)
     case _ =>
-      System.err.println("usage: build <dir> [nDocs] | search <dir> <query...> | searchand <dir> <query...> | regist <table> <root> <idCol> <strCols> <numCols> | indexjson <dir> <dataDir> [contentField] | compact <dir> [full] | nears <root> <col> <needle...> | query <table> <expr> [--index=<root>] [--id=<col>] [--output=json|csv]")
+      System.err.println("usage: build <dir> [nDocs] | search <dir> <query...> | searchand <dir> <query...> | regist <table> <root> <idCol> <strCols> <numCols> | indexjson <dir> <dataDir> [contentField] | compact <dir> [full] | info <dir> [--keys=<n>] | clean <dir> | nears <root> <col> <needle...> | query <table> <expr> [--index=<root>] [--id=<col>] [--output=json|csv]")
       sys.exit(2)
   }
 }

@@ -44,6 +44,45 @@ class EntrySpec extends SparkTestBase {
       "plain", Some(root), Some("rid"))
   }
 
+  test("CLI info reports index state; clean reclaims retired generations") {
+    import spark.implicits._
+    import vfsidx.build.IndexBuild
+    val t = tmpDir("cli_info")
+    val docs = (0L until 40L).map(i =>
+      vfsidx.corpus.SourceFile(i, "r", s"p$i", "", "", s"alpha beta doc$i", s"h$i")).toDS()
+    IndexBuild.build(spark, docs, s"$t/idx",
+      IndexBuild.BuildConfig(numBatches = 1, numBuckets = 2))
+    val tbl = (0L until 40L).map(i => (i, s"alpha beta doc$i", i % 7))
+      .toDF("doc_id", "body", "v")
+    vfsidx.query.QueryParser.buildIndexes(spark, tbl, "doc_id",
+      Seq("body"), Seq("v"), s"$t/root")
+    def captured(args: Array[String]): String = {
+      val bos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(bos, true, "UTF-8")) {
+        vfsidx.Main.dispatch(spark, args, "plain", None)
+      }
+      bos.toString("UTF-8")
+    }
+    val wordInfo = captured(Array("info", s"$t/idx"))
+    assert(wordInfo.contains("word index: 40 docs"), wordInfo)
+    assert(wordInfo.contains("term="), wordInfo)
+    val rootInfo = captured(Array("info", s"$t/root"))
+    assert(rootInfo.contains("tri/body: 40 rows"), rootInfo)
+    assert(rootInfo.contains("key=0x"), rootInfo)
+    assert(rootInfo.contains("num/v: 40 rows"), rootInfo)
+    assert(captured(Array("info", s"$t/empty")).contains("no index found"))
+    // seal a second generation, fold with deferred reclaim -> retirees exist
+    val extra = (40L until 60L).map(i =>
+      vfsidx.corpus.SourceFile(i, "r", s"p$i", "", "", s"gamma delta doc$i", s"h$i")).toDS()
+    IndexBuild.ingestBatch(spark, extra, s"$t/idx", batchId = 1)
+    IndexBuild.remerge(spark, s"$t/idx", reclaim = false)
+    val cleanOut = captured(Array("clean", s"$t/idx"))
+    val reclaimed = "reclaimed (\\d+)".r.findFirstMatchIn(cleanOut).map(_.group(1).toInt)
+    assert(reclaimed.exists(_ >= 2), cleanOut) // both folded inputs reclaimed
+    assert(captured(Array("info", s"$t/idx")).contains("word index: 60 docs"))
+    assert(captured(Array("clean", s"$t/idx")).contains("reclaimed 0"))
+  }
+
   test("all queries run at sf0.001 and oracled ones return deterministic schemas") {
     val failures = scala.collection.mutable.ListBuffer[String]()
     SparkEntry.queries.foreach { case (name, fn) =>
