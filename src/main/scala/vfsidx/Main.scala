@@ -36,6 +36,9 @@ import vfsidx.query.Bm25Index
   *   --index=<root>       `query` executes against the indexes under <root>
   *                        (built with `regist`) instead of a full scan
   *   --keys=<n>           `info`: how many per-key rows to print (default 10)
+  *   --merge=true         `query --index`: fold touched columns' accumulated
+  *                        generations before searching (the reference's
+  *                        MergeOnSearch, /root/reference/config.go:62-66)
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -59,25 +62,27 @@ object Main {
     * `--ouput=json`) must not be silently ignored, and the error names the
     * token so a needle that genuinely starts with `--` is at least loud
     * (quote-free CLI parsing can't distinguish the two). */
-  private val knownFlags = Set("output", "index", "id", "keys")
+  private val knownFlags = Set("output", "index", "id", "keys", "merge")
 
   def run(spark: SparkSession, allArgs: Array[String]): Unit = {
     val output = flag(allArgs, "output").getOrElse("plain")
     val indexRoot = flag(allArgs, "index")
     val idCol = flag(allArgs, "id")
     val keys = flag(allArgs, "keys")
+    val merge = flag(allArgs, "merge")
     val isKnown = (s: String) => knownFlags.exists(k => s.startsWith(s"--$k="))
     allArgs.find(a => a.startsWith("--") && !isKnown(a)).foreach { bad =>
-      System.err.println(s"unknown flag: $bad (recognized: --output=json|csv, --index=<root>, --id=<col>, --keys=<n>)")
+      System.err.println(s"unknown flag: $bad (recognized: --output=json|csv, --index=<root>, --id=<col>, --keys=<n>, --merge=true)")
       sys.exit(2)
     }
     val args = allArgs.filterNot(isKnown)
-    dispatch(spark, args, output, indexRoot, idCol, keys)
+    dispatch(spark, args, output, indexRoot, idCol, keys, merge)
   }
 
   def dispatch(spark: SparkSession, args: Array[String], output: String,
                indexRoot: Option[String], idFlag: Option[String] = None,
-               keysFlag: Option[String] = None): Unit = args.toList match {
+               keysFlag: Option[String] = None,
+               mergeFlag: Option[String] = None): Unit = args.toList match {
     case "build" :: dir :: rest =>
       val n = rest.headOption.map(_.toLong).getOrElse(10000L)
       val t0 = System.nanoTime()
@@ -231,7 +236,10 @@ object Main {
           if (!df.columns.contains(idCol))
             throw new IllegalArgumentException(
               s"--id=$idCol: no such column in $table (has: ${df.columns.mkString(", ")})")
-          vfsidx.query.QueryParser.queryIndexed(spark, df, idCol, root, expr)
+          // --merge=true is the reference's MergeOnSearch: fold touched
+          // columns' accumulated generations before consulting candidates
+          vfsidx.query.QueryParser.queryIndexed(spark, df, idCol, root, expr,
+            mergeOnSearch = mergeFlag.exists(v => v == "true" || v == "1"))
         case None => vfsidx.query.QueryParser.query(df, expr)
       }
       if (output == "plain") {

@@ -434,8 +434,26 @@ object QueryParser {
     * union term drops entirely and `common` alone bounds the rows.
     */
   def queryIndexed(spark: SparkSession, df: DataFrame, idCol: String,
-                   indexRoot: String, q: String): DataFrame = {
+                   indexRoot: String, q: String,
+                   mergeOnSearch: Boolean = false): DataFrame = {
     val groups = parseQuery(q)
+    // MERGE-ON-SEARCH (the reference's MergeOnSearch option, which kicks a
+    // bounded merge from the search path, /root/reference/search_cond.go:
+    // 828-837, config.go:62-66; the Bm25Index twin is its `mergeOnSearch`
+    // ctor arg): before consulting candidates, fold ONE tiered window per
+    // column the query touches whose generation count exceeds the policy
+    // threshold — covers users who query a lot and refresh rarely. Reclaim
+    // is deferred (concurrent readers keep their files; the next regist or
+    // CLI `clean` sweeps retirees).
+    if (mergeOnSearch) {
+      val exprs = groups.flatten
+      exprs.collect { case Search(c, _) => c case Cmp(c, _, Right(_)) => c }
+        .distinct.foreach(c =>
+          TrigramIndex.compactTiered(spark, triDir(indexRoot, c), reclaim = false))
+      exprs.collect { case Cmp(c, _, Left(_)) => c }
+        .distinct.foreach(c =>
+          NumericIndex.compactTiered(spark, indexRoot, c, reclaim = false))
+    }
     // the table's (row count, max id) watermark for the staleness guard —
     // ONE id-column-pruned agg job, evaluated lazily (only when a candidate
     // index is consulted) and shared across all conjunct groups. This is

@@ -205,4 +205,33 @@ class ColumnRefreshSpec extends SparkTestBase {
     // the word index advanced in lockstep
     assert(new vfsidx.query.Bm25Index(spark, idx).topKOr("beta", 5).count() == 1)
   }
+
+  test("merge-on-search folds per-column generations at query time (reference MergeOnSearch)") {
+    val root = tmpDir("colref_mos")
+    val triCfg = TrigramIndex.TriConfig(numBuckets = 2, saltThreshold = 100, shardSize = 64)
+    val triD = QueryParser.triDir(root, "title")
+    // a refresh driver that never compacts: 6 single-batch generations
+    val steps = Seq(0, 40, 80, 120, 160, 200, 240)
+    for (k <- 0 until 6) {
+      val slice = mkTable(steps(k + 1)).filter($"doc_id" >= steps(k))
+      TrigramIndex.ingestBatch(spark, slice, "doc_id", "title", triD, k, triCfg)
+      NumericIndex.ingestBatch(spark, slice, "doc_id", "n", root, k, numBuckets = 2)
+    }
+    assert(TrigramIndex.generations(spark, triD).size == 6)
+    assert(NumericIndex.generations(spark, root, "n").size == 6)
+    val df = mkTable(240).cache()
+    val e = """title.search("alpha") && n >= 10 && n < 20"""
+    val a = QueryParser.queryIndexed(spark, df, "doc_id", root, e, mergeOnSearch = true)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(a == QueryParser.query(df, e).select($"doc_id").as[Long].collect().sorted.toSeq)
+    // one tiered window folded per touched column; retirees kept on disk
+    // for concurrent readers (reclaim deferred to regist / CLI clean)
+    assert(TrigramIndex.generations(spark, triD).size < 6)
+    assert(NumericIndex.generations(spark, root, "n").size < 6)
+    // results stay identical after the fold, and a second query with the
+    // flag is a no-op once the count is back under the policy threshold
+    val a2 = QueryParser.queryIndexed(spark, df, "doc_id", root, e, mergeOnSearch = true)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(a2 == a)
+  }
 }
