@@ -148,30 +148,36 @@ object Main {
       // layout, coverage stats, and the top-df dictionary rows in the
       // reference's key=…/count=… form
       import org.apache.spark.sql.functions.{asc, desc, sum => sqlSum}
-      val topN = keysFlag.map(_.toInt).getOrElse(10)
+      val topN = keysFlag.map(v => v.toIntOption.filter(_ > 0).getOrElse {
+        System.err.println(s"--keys=$v: expected a positive integer")
+        sys.exit(2)
+      }).getOrElse(10)
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      def subdirs(p: String): Seq[String] = {
-        val path = new org.apache.hadoop.fs.Path(p)
-        if (!fs.exists(path)) Seq.empty
-        else fs.listStatus(path).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
-      }
+      val (triCols, numCols) = vfsidx.corpus.Ingest.registeredCols(spark, dir)
+      val segmentsExist = fs.exists(new org.apache.hadoop.fs.Path(s"$dir/segments"))
       var any = false
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/segments"))) {
+      if (segmentsExist) {
         any = true
         val gens = IndexBuild.generations(spark, dir)
-        val stats = IndexBuild.readStatsRaw(spark, dir).collect()
-        val n = stats.map(_.n_docs).sum
-        val tf = stats.map(_.tf_sum).sum
-        println(f"word index: $n docs, avgdl=${if (n == 0) 0.0 else tf.toDouble / n}%.1f, " +
-          s"${gens.size} generation(s) " +
-          gens.map { case (l, h) => s"gen=${l}_$h" }.mkString("[", " ", "]"))
-        IndexBuild.readDictRaw(spark, dir)
-          .groupBy("term").agg(sqlSum("df").as("df"))
-          .orderBy(desc("df"), asc("term")).limit(topN).collect()
-          .foreach(r => println(s"  term=${r.getString(0)} count=${r.getLong(1)}"))
+        if (gens.isEmpty)
+          // crash window between a partial write and its _SUCCESS gates —
+          // report it like the tri/num branches do, don't stack-trace
+          println("word index: no committed generations")
+        else {
+          val stats = IndexBuild.readStatsRaw(spark, dir).collect()
+          val n = stats.map(_.n_docs).sum
+          val tf = stats.map(_.tf_sum).sum
+          println(f"word index: $n docs, avgdl=${if (n == 0) 0.0 else tf.toDouble / n}%.1f, " +
+            s"${gens.size} generation(s) " +
+            gens.map { case (l, h) => s"gen=${l}_$h" }.mkString("[", " ", "]"))
+          IndexBuild.readDictRaw(spark, dir)
+            .groupBy("term").agg(sqlSum("df").as("df"))
+            .orderBy(desc("df"), asc("term")).limit(topN).collect()
+            .foreach(r => println(s"  term=${r.getString(0)} count=${r.getLong(1)}"))
+        }
       }
-      subdirs(s"$dir/tri").foreach { c =>
+      triCols.foreach { c =>
         any = true
         val d = vfsidx.query.QueryParser.triDir(dir, c)
         vfsidx.build.TrigramIndex.statsMerged(spark, d) match {
@@ -186,7 +192,7 @@ object Main {
           case None => println(s"tri/$c: no committed generations")
         }
       }
-      subdirs(s"$dir/num").foreach { c =>
+      numCols.foreach { c =>
         any = true
         vfsidx.build.NumericIndex.stats(spark, dir, c) match {
           case Some(st) =>
@@ -204,23 +210,33 @@ object Main {
       // wider committed one), the expire-snapshots analogue
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      def subdirs(p: String): Seq[String] = {
-        val path = new org.apache.hadoop.fs.Path(p)
-        if (!fs.exists(path)) Seq.empty
-        else fs.listStatus(path).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
-      }
+      val (triCols, numCols) = vfsidx.corpus.Ingest.registeredCols(spark, dir)
       var cnt = 0
       if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/segments")))
         cnt += IndexBuild.vacuum(spark, dir)
-      subdirs(s"$dir/tri").foreach { c =>
+      triCols.foreach { c =>
         cnt += vfsidx.build.TrigramIndex.vacuum(spark,
           vfsidx.query.QueryParser.triDir(dir, c))
       }
-      subdirs(s"$dir/num").foreach(c =>
+      numCols.foreach(c =>
         cnt += vfsidx.build.NumericIndex.vacuum(spark, dir, c))
       println(s"cleaned $dir: reclaimed $cnt retired generation(s)")
     case "query" :: table :: exprParts if exprParts.nonEmpty =>
       val expr = exprParts.mkString(" ")
+      // validate --merge BEFORE doing any work: a silently-ignored value
+      // ("--merge=ture") or a merge request with no index to fold would
+      // leave the user believing MergeOnSearch ran
+      val mergeOn = mergeFlag.map {
+        case "true" | "1" => true
+        case "false" | "0" => false
+        case v =>
+          System.err.println(s"--merge=$v: expected true|false")
+          sys.exit(2); false
+      }.getOrElse(false)
+      if (mergeOn && indexRoot.isEmpty) {
+        System.err.println("--merge=true requires --index=<root> (no index to fold on a scan query)")
+        sys.exit(2)
+      }
       val df = spark.read.parquet(table)
       val t0 = System.nanoTime()
       val res = indexRoot match {
@@ -238,8 +254,10 @@ object Main {
               s"--id=$idCol: no such column in $table (has: ${df.columns.mkString(", ")})")
           // --merge=true is the reference's MergeOnSearch: fold touched
           // columns' accumulated generations before consulting candidates
+          // (default TriConfig — the layout CLI `regist` builds with)
           vfsidx.query.QueryParser.queryIndexed(spark, df, idCol, root, expr,
-            mergeOnSearch = mergeFlag.exists(v => v == "true" || v == "1"))
+            mergeOnSearch =
+              if (mergeOn) Some(vfsidx.build.TrigramIndex.TriConfig()) else None)
         case None => vfsidx.query.QueryParser.query(df, expr)
       }
       if (output == "plain") {

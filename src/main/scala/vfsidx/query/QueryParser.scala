@@ -435,24 +435,36 @@ object QueryParser {
     */
   def queryIndexed(spark: SparkSession, df: DataFrame, idCol: String,
                    indexRoot: String, q: String,
-                   mergeOnSearch: Boolean = false): DataFrame = {
+                   mergeOnSearch: Option[TrigramIndex.TriConfig] = None): DataFrame = {
     val groups = parseQuery(q)
     // MERGE-ON-SEARCH (the reference's MergeOnSearch option, which kicks a
     // bounded merge from the search path, /root/reference/search_cond.go:
     // 828-837, config.go:62-66; the Bm25Index twin is its `mergeOnSearch`
     // ctor arg): before consulting candidates, fold ONE tiered window per
     // column the query touches whose generation count exceeds the policy
-    // threshold — covers users who query a lot and refresh rarely. Reclaim
-    // is deferred (concurrent readers keep their files; the next regist or
-    // CLI `clean` sweeps retirees).
-    if (mergeOnSearch) {
+    // threshold — covers users who query a lot and refresh rarely. The cfg
+    // must be the one the index was built with (shard layout + fold policy
+    // — same contract as buildIndexes); numeric folds keep their own
+    // default bucket layout, as buildIndexes does. Only columns whose
+    // predicates would actually CONSULT an index fold (mirrors
+    // groupCandidates' indexability — `!=` and sub-trigram needles never
+    // read an index, so they must not rewrite one). Reclaim is deferred
+    // (concurrent readers keep their files; the next regist or CLI `clean`
+    // sweeps retirees).
+    mergeOnSearch.foreach { cfg =>
       val exprs = groups.flatten
-      exprs.collect { case Search(c, _) => c case Cmp(c, _, Right(_)) => c }
+      def needleIndexable(s: String) =
+        Tokenizer.triKeys(s).nonEmpty && TrigramIndex.wellFormedUtf16(s)
+      exprs.collect {
+        case Search(c, s) if needleIndexable(s) => c
+        case Cmp(c, "==", Right(s)) if needleIndexable(s) => c
+      }.distinct.foreach(c =>
+        TrigramIndex.compactTiered(spark, triDir(indexRoot, c), cfg, reclaim = false))
+      exprs.collect { case Cmp(c, op, Left(_)) if op != "!=" => c }
         .distinct.foreach(c =>
-          TrigramIndex.compactTiered(spark, triDir(indexRoot, c), reclaim = false))
-      exprs.collect { case Cmp(c, _, Left(_)) => c }
-        .distinct.foreach(c =>
-          NumericIndex.compactTiered(spark, indexRoot, c, reclaim = false))
+          NumericIndex.compactTiered(spark, indexRoot, c,
+            maxGenerations = cfg.maxGenerations, tierFanout = cfg.tierFanout,
+            reclaim = false))
     }
     // the table's (row count, max id) watermark for the staleness guard —
     // ONE id-column-pruned agg job, evaluated lazily (only when a candidate

@@ -221,7 +221,8 @@ class ColumnRefreshSpec extends SparkTestBase {
     assert(NumericIndex.generations(spark, root, "n").size == 6)
     val df = mkTable(240).cache()
     val e = """title.search("alpha") && n >= 10 && n < 20"""
-    val a = QueryParser.queryIndexed(spark, df, "doc_id", root, e, mergeOnSearch = true)
+    val a = QueryParser.queryIndexed(spark, df, "doc_id", root, e,
+        mergeOnSearch = Some(triCfg))
       .select($"doc_id").as[Long].collect().sorted.toSeq
     assert(a == QueryParser.query(df, e).select($"doc_id").as[Long].collect().sorted.toSeq)
     // one tiered window folded per touched column; retirees kept on disk
@@ -230,7 +231,8 @@ class ColumnRefreshSpec extends SparkTestBase {
     assert(NumericIndex.generations(spark, root, "n").size < 6)
     // results stay identical after the fold, and a second query with the
     // flag is a no-op once the count is back under the policy threshold
-    val a2 = QueryParser.queryIndexed(spark, df, "doc_id", root, e, mergeOnSearch = true)
+    val a2 = QueryParser.queryIndexed(spark, df, "doc_id", root, e,
+        mergeOnSearch = Some(triCfg))
       .select($"doc_id").as[Long].collect().sorted.toSeq
     assert(a2 == a)
   }
