@@ -64,6 +64,18 @@ object Main {
     * (quote-free CLI parsing can't distinguish the two). */
   private val knownFlags = Set("output", "index", "id", "keys", "merge")
 
+  /** Flags each verb actually READS — a recognized flag passed to a verb
+    * that ignores it is a usage error, not a silent no-op (same contract
+    * as unknown flags: `search ... --merge=true` exiting 0 without folding
+    * would leave the user believing MergeOnSearch ran). */
+  private val verbFlags: Map[String, Set[String]] = Map(
+    "build" -> Set.empty, "regist" -> Set.empty, "compact" -> Set.empty,
+    "indexjson" -> Set.empty, "clean" -> Set.empty,
+    "search" -> Set("output"), "searchand" -> Set("output"),
+    "nears" -> Set("output"),
+    "info" -> Set("keys"),
+    "query" -> Set("output", "index", "id", "merge"))
+
   def run(spark: SparkSession, allArgs: Array[String]): Unit = {
     val output = flag(allArgs, "output").getOrElse("plain")
     val indexRoot = flag(allArgs, "index")
@@ -76,6 +88,13 @@ object Main {
       sys.exit(2)
     }
     val args = allArgs.filterNot(isKnown)
+    val provided = knownFlags.filter(k => allArgs.exists(_.startsWith(s"--$k=")))
+    args.headOption.flatMap(verbFlags.get).foreach { allowed =>
+      (provided -- allowed).toSeq.sorted.foreach { f =>
+        System.err.println(s"flag --$f does not apply to '${args.head}'")
+        sys.exit(2)
+      }
+    }
     dispatch(spark, args, output, indexRoot, idCol, keys, merge)
   }
 
@@ -165,13 +184,19 @@ object Main {
           // report it like the tri/num branches do, don't stack-trace
           println("word index: no committed generations")
         else {
-          val stats = IndexBuild.readStatsRaw(spark, dir).collect()
-          val n = stats.map(_.n_docs).sum
-          val tf = stats.map(_.tf_sum).sum
+          // ONE generation listing; the stats/dict tables are read by
+          // explicit gen dirs rather than via readStatsRaw/readDictRaw,
+          // which would each re-run the listing + _SUCCESS probes
+          val st = spark.read.parquet(gens.map { case (l, h) =>
+              IndexBuild.statsGenDir(dir, l, h) }: _*)
+            .agg(sqlSum("n_docs"), sqlSum("tf_sum")).head()
+          val n = st.getLong(0)
+          val tf = st.getLong(1)
           println(f"word index: $n docs, avgdl=${if (n == 0) 0.0 else tf.toDouble / n}%.1f, " +
             s"${gens.size} generation(s) " +
             gens.map { case (l, h) => s"gen=${l}_$h" }.mkString("[", " ", "]"))
-          IndexBuild.readDictRaw(spark, dir)
+          spark.read.parquet(gens.map { case (l, h) =>
+              IndexBuild.dictGenDir(dir, l, h) }: _*)
             .groupBy("term").agg(sqlSum("df").as("df"))
             .orderBy(desc("df"), asc("term")).limit(topN).collect()
             .foreach(r => println(s"  term=${r.getString(0)} count=${r.getLong(1)}"))
@@ -180,16 +205,20 @@ object Main {
       triCols.foreach { c =>
         any = true
         val d = vfsidx.query.QueryParser.triDir(dir, c)
-        vfsidx.build.TrigramIndex.statsMerged(spark, d) match {
-          case Some(st) =>
-            val gens = vfsidx.build.TrigramIndex.generations(spark, d)
-            println(s"tri/$c: ${st.n_rows} rows, max_doc_id=${st.max_doc_id}, " +
-              s"${gens.size} generation(s)")
-            vfsidx.build.TrigramIndex.readDictRaw(spark, d)
-              .groupBy("key").agg(sqlSum("df").as("df"))
-              .orderBy(desc("df"), asc("key")).limit(topN).collect()
-              .foreach(r => println(f"  key=0x${r.getLong(0)}%012x count=${r.getLong(1)}"))
-          case None => println(s"tri/$c: no committed generations")
+        val gens = vfsidx.build.TrigramIndex.generations(spark, d)
+        if (gens.isEmpty) println(s"tri/$c: no committed generations")
+        else {
+          import org.apache.spark.sql.functions.{max => sqlMax}
+          val st = spark.read.parquet(gens.map { case (l, h) =>
+              vfsidx.build.TrigramIndex.statsGenDir(d, l, h) }: _*)
+            .agg(sqlSum("n_rows"), sqlMax("max_doc_id")).head()
+          println(s"tri/$c: ${st.getLong(0)} rows, max_doc_id=${st.getLong(1)}, " +
+            s"${gens.size} generation(s)")
+          spark.read.parquet(gens.map { case (l, h) =>
+              vfsidx.build.TrigramIndex.dictGenDir(d, l, h) }: _*)
+            .groupBy("key").agg(sqlSum("df").as("df"))
+            .orderBy(desc("df"), asc("key")).limit(topN).collect()
+            .foreach(r => println(f"  key=0x${r.getLong(0)}%012x count=${r.getLong(1)}"))
         }
       }
       numCols.foreach { c =>
@@ -268,7 +297,7 @@ object Main {
         rows.foreach(r => println("  " + r.mkString(" | ").take(120)))
       } else vfsidx.query.ResultEncoder.emit(res, output)
     case _ =>
-      System.err.println("usage: build <dir> [nDocs] | search <dir> <query...> | searchand <dir> <query...> | regist <table> <root> <idCol> <strCols> <numCols> | indexjson <dir> <dataDir> [contentField] | compact <dir> [full] | info <dir> [--keys=<n>] | clean <dir> | nears <root> <col> <needle...> | query <table> <expr> [--index=<root>] [--id=<col>] [--output=json|csv]")
+      System.err.println("usage: build <dir> [nDocs] | search <dir> <query...> | searchand <dir> <query...> | regist <table> <root> <idCol> <strCols> <numCols> | indexjson <dir> <dataDir> [contentField] | compact <dir> [full] | info <dir> [--keys=<n>] | clean <dir> | nears <root> <col> <needle...> | query <table> <expr> [--index=<root>] [--id=<col>] [--merge=true] [--output=json|csv]")
       sys.exit(2)
   }
 }

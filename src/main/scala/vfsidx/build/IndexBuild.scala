@@ -276,9 +276,16 @@ object IndexBuild {
         }
   }
 
-  /** Dirs whose on-disk format has been verified, per JVM (one parquet
-    * footer read per generation on the first [[generations]] call). */
-  private val formatChecked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** dir → verified generation signature, per JVM (one parquet footer read
+    * per generation on the first [[generations]] call for that layout). The
+    * signature re-verifies after any compaction/refresh changes the
+    * generation set — including an index replaced on disk under a
+    * long-lived driver, as long as the replacement's generation names
+    * differ (a restored backup with the identical gen list in the same JVM
+    * is the one residual window; re-verifying per call would put a footer
+    * read on every query's hot path). */
+  private val formatChecked =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** MIGRATION gate (round 4): the word index's on-disk format changed —
     * `runs` hold SPIMI chunk rows (term, pre_shard, first_doc, last_doc,
@@ -293,7 +300,9 @@ object IndexBuild {
     * fold/resume time in its buildGeneration.) */
   private def assertSegmentFormat(spark: SparkSession, dir: String,
                                   gens: Seq[(Int, Int)]): Unit = {
-    if (gens.isEmpty || formatChecked.contains(dir)) return
+    if (gens.isEmpty) return
+    val sig = gens.map { case (l, h) => s"${l}_$h" }.mkString(",")
+    if (sig == formatChecked.get(dir)) return
     gens.foreach { case (l, h) =>
       require(
         spark.read.parquet(segmentsGenDir(dir, l, h)).schema.fieldNames.contains("tf_sum"),
@@ -301,7 +310,7 @@ object IndexBuild {
           "pre-chunk-format build (segments lack tf_sum; its runs are raw " +
           "postings): delete the index directory and rebuild")
     }
-    formatChecked.add(dir)
+    formatChecked.put(dir, sig)
   }
 
   def generations(spark: SparkSession, dir: String): Seq[(Int, Int)] = {

@@ -290,6 +290,11 @@ object QueryParser {
     private val numStatsM =
       scala.collection.mutable.Map.empty[String, Option[vfsidx.build.NumStats]]
 
+    /** Columns whose index passed every consultation gate (indexable +
+      * fresh + selective) this call — the merge-on-search fold set. */
+    val consultedTri = scala.collection.mutable.LinkedHashSet.empty[String]
+    val consultedNum = scala.collection.mutable.LinkedHashSet.empty[String]
+
     /** A LAZY handle: the candidate DataFrame is built (and memoized) only
       * when the thunk is forced. Keys alone drive the hoisting decision, so
       * sets the hoist discards — a residual dropped by a residual-empty
@@ -344,9 +349,11 @@ object QueryParser {
       Tokenizer.triKeys(s).nonEmpty && TrigramIndex.wellFormedUtf16(s) &&
         memo.fresh(s"tri/$c", TrigramIndex.statsMerged(spark, triDir(indexRoot, c))
           .map(st => (st.n_rows, st.max_doc_id)))
-    def candidates(c: String, s: String): (CandKey, () => DataFrame) =
+    def candidates(c: String, s: String): (CandKey, () => DataFrame) = {
+      memo.consultedTri += c
       memo.candidate(CandKey("tri", c, s))(
         TrigramIndex.searchCandidates(spark, triDir(indexRoot, c), s))
+    }
     val searchSets: Seq[(CandKey, () => DataFrame)] = exprs.flatMap {
       case Search(c, s) if indexable(c, s) => Some(candidates(c, s))
       case Cmp(c, "==", Right(s)) if indexable(c, s) => Some(candidates(c, s))
@@ -386,9 +393,10 @@ object QueryParser {
     def selective(col: String, lo: Option[Long], hi: Option[Long],
                   key: CandKey, cand: => DataFrame): Option[(CandKey, () => DataFrame)] =
       memo.numStats(col).flatMap { st =>
-        if (NumericIndex.estimateFraction(st, lo, hi) <= MaxIndexSelectivity)
+        if (NumericIndex.estimateFraction(st, lo, hi) <= MaxIndexSelectivity) {
+          memo.consultedNum += col
           Some(memo.candidate(key)(cand))
-        else None
+        } else None
       }
     val numSets: Seq[(CandKey, () => DataFrame)] = numBounds.toSeq.flatMap { case (c, b) =>
       if (b.contradiction)
@@ -437,35 +445,6 @@ object QueryParser {
                    indexRoot: String, q: String,
                    mergeOnSearch: Option[TrigramIndex.TriConfig] = None): DataFrame = {
     val groups = parseQuery(q)
-    // MERGE-ON-SEARCH (the reference's MergeOnSearch option, which kicks a
-    // bounded merge from the search path, /root/reference/search_cond.go:
-    // 828-837, config.go:62-66; the Bm25Index twin is its `mergeOnSearch`
-    // ctor arg): before consulting candidates, fold ONE tiered window per
-    // column the query touches whose generation count exceeds the policy
-    // threshold — covers users who query a lot and refresh rarely. The cfg
-    // must be the one the index was built with (shard layout + fold policy
-    // — same contract as buildIndexes); numeric folds keep their own
-    // default bucket layout, as buildIndexes does. Only columns whose
-    // predicates would actually CONSULT an index fold (mirrors
-    // groupCandidates' indexability — `!=` and sub-trigram needles never
-    // read an index, so they must not rewrite one). Reclaim is deferred
-    // (concurrent readers keep their files; the next regist or CLI `clean`
-    // sweeps retirees).
-    mergeOnSearch.foreach { cfg =>
-      val exprs = groups.flatten
-      def needleIndexable(s: String) =
-        Tokenizer.triKeys(s).nonEmpty && TrigramIndex.wellFormedUtf16(s)
-      exprs.collect {
-        case Search(c, s) if needleIndexable(s) => c
-        case Cmp(c, "==", Right(s)) if needleIndexable(s) => c
-      }.distinct.foreach(c =>
-        TrigramIndex.compactTiered(spark, triDir(indexRoot, c), cfg, reclaim = false))
-      exprs.collect { case Cmp(c, op, Left(_)) if op != "!=" => c }
-        .distinct.foreach(c =>
-          NumericIndex.compactTiered(spark, indexRoot, c,
-            maxGenerations = cfg.maxGenerations, tierFanout = cfg.tierFanout,
-            reclaim = false))
-    }
     // the table's (row count, max id) watermark for the staleness guard —
     // ONE id-column-pruned agg job, evaluated lazily (only when a candidate
     // index is consulted) and shared across all conjunct groups. This is
@@ -499,6 +478,27 @@ object QueryParser {
           }
         df.join(ids.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_semi")
       }
+    // MERGE-ON-SEARCH (the reference's MergeOnSearch option: a bounded
+    // merge kicked from the search path, /root/reference/search_cond.go:
+    // 828-837, config.go:62-66; the Bm25Index twin is its `mergeOnSearch`
+    // ctor arg): fold AFTER planning, and only the columns the planner
+    // actually CONSULTED (indexable + fresh + selective, via the memo) —
+    // folding an index the query then ignores would pay a re-shuffle for
+    // nothing. The planned candidate reads stay exact: the fold only
+    // COMMITS a combined generation (reclaim deferred, so the planned
+    // generation files stay on disk for this query's execution; concurrent
+    // readers likewise keep theirs); the NEXT query reads the folded
+    // layout. `cfg` must be the config the index was built with (shard
+    // layout + fold policy — same contract as buildIndexes); numeric folds
+    // keep their own default bucket layout, as buildIndexes does.
+    mergeOnSearch.foreach { cfg =>
+      memo.consultedTri.foreach(c =>
+        TrigramIndex.compactTiered(spark, triDir(indexRoot, c), cfg, reclaim = false))
+      memo.consultedNum.foreach(c =>
+        NumericIndex.compactTiered(spark, indexRoot, c,
+          maxGenerations = cfg.maxGenerations, tierFanout = cfg.tierFanout,
+          reclaim = false))
+    }
     base.filter(groups.map(groupPredicate).reduce(_ || _))
   }
 }

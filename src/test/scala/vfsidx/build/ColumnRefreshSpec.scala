@@ -220,12 +220,19 @@ class ColumnRefreshSpec extends SparkTestBase {
     assert(TrigramIndex.generations(spark, triD).size == 6)
     assert(NumericIndex.generations(spark, root, "n").size == 6)
     val df = mkTable(240).cache()
-    val e = """title.search("alpha") && n >= 10 && n < 20"""
+    // a predicate the planner does NOT consult (range fails the
+    // selectivity gate) must NOT fold its index — merge-on-search pays a
+    // re-shuffle only for indexes the query actually reads
+    val e0 = """n >= 10 && n < 20"""
+    QueryParser.queryIndexed(spark, df, "doc_id", root, e0,
+      mergeOnSearch = Some(triCfg)).collect()
+    assert(NumericIndex.generations(spark, root, "n").size == 6)
+    val e = """title.search("alpha") && n == 7"""
     val a = QueryParser.queryIndexed(spark, df, "doc_id", root, e,
         mergeOnSearch = Some(triCfg))
       .select($"doc_id").as[Long].collect().sorted.toSeq
     assert(a == QueryParser.query(df, e).select($"doc_id").as[Long].collect().sorted.toSeq)
-    // one tiered window folded per touched column; retirees kept on disk
+    // one tiered window folded per CONSULTED column; retirees kept on disk
     // for concurrent readers (reclaim deferred to regist / CLI clean)
     assert(TrigramIndex.generations(spark, triD).size < 6)
     assert(NumericIndex.generations(spark, root, "n").size < 6)
