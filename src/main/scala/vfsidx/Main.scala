@@ -76,26 +76,32 @@ object Main {
     "info" -> Set("keys"),
     "query" -> Set("output", "index", "id", "merge"))
 
-  def run(spark: SparkSession, allArgs: Array[String]): Unit = {
-    val output = flag(allArgs, "output").getOrElse("plain")
-    val indexRoot = flag(allArgs, "index")
-    val idCol = flag(allArgs, "id")
-    val keys = flag(allArgs, "keys")
-    val merge = flag(allArgs, "merge")
+  /** First flag-contract violation in the raw args, None when clean —
+    * public so the rejection logic is unit-testable (the CLI path itself
+    * prints and sys.exits, which a test cannot intercept). */
+  def flagErrors(allArgs: Array[String]): Option[String] = {
     val isKnown = (s: String) => knownFlags.exists(k => s.startsWith(s"--$k="))
-    allArgs.find(a => a.startsWith("--") && !isKnown(a)).foreach { bad =>
-      System.err.println(s"unknown flag: $bad (recognized: --output=json|csv, --index=<root>, --id=<col>, --keys=<n>, --merge=true)")
+    allArgs.find(a => a.startsWith("--") && !isKnown(a))
+      .map(bad => s"unknown flag: $bad (recognized: --output=json|csv, " +
+        "--index=<root>, --id=<col>, --keys=<n>, --merge=true)")
+      .orElse {
+        val args = allArgs.filterNot(isKnown)
+        val provided = knownFlags.filter(k => allArgs.exists(_.startsWith(s"--$k=")))
+        args.headOption.flatMap(verbFlags.get).flatMap(allowed =>
+          (provided -- allowed).toSeq.sorted.headOption.map(f =>
+            s"flag --$f does not apply to '${args.head}'"))
+      }
+  }
+
+  def run(spark: SparkSession, allArgs: Array[String]): Unit = {
+    flagErrors(allArgs).foreach { msg =>
+      System.err.println(msg)
       sys.exit(2)
     }
-    val args = allArgs.filterNot(isKnown)
-    val provided = knownFlags.filter(k => allArgs.exists(_.startsWith(s"--$k=")))
-    args.headOption.flatMap(verbFlags.get).foreach { allowed =>
-      (provided -- allowed).toSeq.sorted.foreach { f =>
-        System.err.println(s"flag --$f does not apply to '${args.head}'")
-        sys.exit(2)
-      }
-    }
-    dispatch(spark, args, output, indexRoot, idCol, keys, merge)
+    val isKnown = (s: String) => knownFlags.exists(k => s.startsWith(s"--$k="))
+    dispatch(spark, allArgs.filterNot(isKnown),
+      flag(allArgs, "output").getOrElse("plain"), flag(allArgs, "index"),
+      flag(allArgs, "id"), flag(allArgs, "keys"), flag(allArgs, "merge"))
   }
 
   def dispatch(spark: SparkSession, args: Array[String], output: String,
@@ -264,6 +270,10 @@ object Main {
       }.getOrElse(false)
       if (mergeOn && indexRoot.isEmpty) {
         System.err.println("--merge=true requires --index=<root> (no index to fold on a scan query)")
+        sys.exit(2)
+      }
+      if (idFlag.nonEmpty && indexRoot.isEmpty) {
+        System.err.println("--id=<col> requires --index=<root> (the id column only binds index candidates)")
         sys.exit(2)
       }
       val df = spark.read.parquet(table)

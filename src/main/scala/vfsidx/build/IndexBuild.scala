@@ -276,16 +276,16 @@ object IndexBuild {
         }
   }
 
-  /** dir → verified generation signature, per JVM (one parquet footer read
-    * per generation on the first [[generations]] call for that layout). The
-    * signature re-verifies after any compaction/refresh changes the
-    * generation set — including an index replaced on disk under a
-    * long-lived driver, as long as the replacement's generation names
-    * differ (a restored backup with the identical gen list in the same JVM
-    * is the one residual window; re-verifying per call would put a footer
-    * read on every query's hot path). */
+  /** dir → gen names whose format has been verified, per JVM: each
+    * generation pays ONE parquet footer read ever — O(new gens) across a
+    * refresh/stream session, not O(all gens) per generation-set change.
+    * An index replaced on disk under a long-lived driver re-verifies as
+    * long as the replacement's generation names differ (a restored backup
+    * with identical gen names in the same JVM is the residual window no
+    * memo design catches; re-verifying per call would put footer reads on
+    * every query's hot path). */
   private val formatChecked =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
 
   /** MIGRATION gate (round 4): the word index's on-disk format changed —
     * `runs` hold SPIMI chunk rows (term, pre_shard, first_doc, last_doc,
@@ -301,16 +301,17 @@ object IndexBuild {
   private def assertSegmentFormat(spark: SparkSession, dir: String,
                                   gens: Seq[(Int, Int)]): Unit = {
     if (gens.isEmpty) return
-    val sig = gens.map { case (l, h) => s"${l}_$h" }.mkString(",")
-    if (sig == formatChecked.get(dir)) return
-    gens.foreach { case (l, h) =>
+    val done = formatChecked.getOrDefault(dir, Set.empty)
+    val unverified = gens.filter { case (l, h) => !done(s"${l}_$h") }
+    if (unverified.isEmpty) return
+    unverified.foreach { case (l, h) =>
       require(
         spark.read.parquet(segmentsGenDir(dir, l, h)).schema.fieldNames.contains("tf_sum"),
         s"word index at $dir holds a generation gen=${l}_$h written by a " +
           "pre-chunk-format build (segments lack tf_sum; its runs are raw " +
           "postings): delete the index directory and rebuild")
     }
-    formatChecked.put(dir, sig)
+    formatChecked.put(dir, done ++ unverified.map { case (l, h) => s"${l}_$h" })
   }
 
   def generations(spark: SparkSession, dir: String): Seq[(Int, Int)] = {

@@ -290,11 +290,6 @@ object QueryParser {
     private val numStatsM =
       scala.collection.mutable.Map.empty[String, Option[vfsidx.build.NumStats]]
 
-    /** Columns whose index passed every consultation gate (indexable +
-      * fresh + selective) this call — the merge-on-search fold set. */
-    val consultedTri = scala.collection.mutable.LinkedHashSet.empty[String]
-    val consultedNum = scala.collection.mutable.LinkedHashSet.empty[String]
-
     /** A LAZY handle: the candidate DataFrame is built (and memoized) only
       * when the thunk is forced. Keys alone drive the hoisting decision, so
       * sets the hoist discards — a residual dropped by a residual-empty
@@ -349,11 +344,9 @@ object QueryParser {
       Tokenizer.triKeys(s).nonEmpty && TrigramIndex.wellFormedUtf16(s) &&
         memo.fresh(s"tri/$c", TrigramIndex.statsMerged(spark, triDir(indexRoot, c))
           .map(st => (st.n_rows, st.max_doc_id)))
-    def candidates(c: String, s: String): (CandKey, () => DataFrame) = {
-      memo.consultedTri += c
+    def candidates(c: String, s: String): (CandKey, () => DataFrame) =
       memo.candidate(CandKey("tri", c, s))(
         TrigramIndex.searchCandidates(spark, triDir(indexRoot, c), s))
-    }
     val searchSets: Seq[(CandKey, () => DataFrame)] = exprs.flatMap {
       case Search(c, s) if indexable(c, s) => Some(candidates(c, s))
       case Cmp(c, "==", Right(s)) if indexable(c, s) => Some(candidates(c, s))
@@ -393,10 +386,9 @@ object QueryParser {
     def selective(col: String, lo: Option[Long], hi: Option[Long],
                   key: CandKey, cand: => DataFrame): Option[(CandKey, () => DataFrame)] =
       memo.numStats(col).flatMap { st =>
-        if (NumericIndex.estimateFraction(st, lo, hi) <= MaxIndexSelectivity) {
-          memo.consultedNum += col
+        if (NumericIndex.estimateFraction(st, lo, hi) <= MaxIndexSelectivity)
           Some(memo.candidate(key)(cand))
-        } else None
+        else None
       }
     val numSets: Seq[(CandKey, () => DataFrame)] = numBounds.toSeq.flatMap { case (c, b) =>
       if (b.contradiction)
@@ -459,11 +451,41 @@ object QueryParser {
     def intersect(dfs: Seq[DataFrame]): DataFrame =
       dfs.reduce((a, b) => a.join(b, "doc_id"))
     val base =
-      if (sets.exists(_.isEmpty)) df
+      if (sets.exists(_.isEmpty)) df   // scan fallback: no candidate is read,
+                                       // so merge-on-search folds nothing
       else {
         val perGroup: Seq[Seq[(CandKey, () => DataFrame)]] = sets.flatten
         val common = perGroup.map(_.map(_._1).toSet).reduce(_ intersect _)
         val residuals = perGroup.map(_.filterNot(kv => common(kv._1)))
+        val dropResiduals = common.nonEmpty && residuals.exists(_.isEmpty)
+        // keys that SURVIVE the hoist — decidable from keys alone, before
+        // any thunk is forced
+        val surviving: Set[CandKey] =
+          if (common.isEmpty) perGroup.flatten.map(_._1).toSet
+          else if (dropResiduals) common
+          else common ++ residuals.flatten.map(_._1)
+        // MERGE-ON-SEARCH (the reference's MergeOnSearch option: a bounded
+        // merge kicked from the search path, /root/reference/search_cond.go:
+        // 828-837, config.go:62-66; the Bm25Index twin is its `mergeOnSearch`
+        // ctor arg): fold exactly the columns whose candidate sets the
+        // query WILL read — indexable + fresh + selective (they produced a
+        // key) AND surviving the hoist — and fold BEFORE forcing the
+        // thunks, so the planned reads reference the post-fold survivor
+        // generations and stay valid across a later vacuum. `cfg` must be
+        // the config the index was built with (shard layout + fold policy,
+        // same contract as buildIndexes); numeric folds keep their own
+        // default bucket layout, as buildIndexes does. Contradiction keys
+        // read no index. Reclaim stays deferred for CONCURRENT readers
+        // (this query's own reads don't need the retirees anymore).
+        mergeOnSearch.foreach { cfg =>
+          surviving.collect { case CandKey("tri", c, _) => c }.foreach(c =>
+            TrigramIndex.compactTiered(spark, triDir(indexRoot, c), cfg, reclaim = false))
+          surviving.collect { case CandKey("num", c, d) if d != "contradiction" => c }
+            .foreach(c =>
+              NumericIndex.compactTiered(spark, indexRoot, c,
+                maxGenerations = cfg.maxGenerations, tierFanout = cfg.tierFanout,
+                reclaim = false))
+        }
         // force ONLY the surviving thunks: residuals are dropped wholesale
         // when some group's candidates are all common
         val ids =
@@ -472,33 +494,12 @@ object QueryParser {
           else {
             val commonIds = intersect(
               perGroup.head.filter(kv => common(kv._1)).distinctBy(_._1).map(_._2()))
-            if (residuals.exists(_.isEmpty)) commonIds
+            if (dropResiduals) commonIds
             else commonIds.join(
               residuals.map(g => intersect(g.map(_._2()))).reduce(_ unionByName _), "doc_id")
           }
         df.join(ids.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_semi")
       }
-    // MERGE-ON-SEARCH (the reference's MergeOnSearch option: a bounded
-    // merge kicked from the search path, /root/reference/search_cond.go:
-    // 828-837, config.go:62-66; the Bm25Index twin is its `mergeOnSearch`
-    // ctor arg): fold AFTER planning, and only the columns the planner
-    // actually CONSULTED (indexable + fresh + selective, via the memo) —
-    // folding an index the query then ignores would pay a re-shuffle for
-    // nothing. The planned candidate reads stay exact: the fold only
-    // COMMITS a combined generation (reclaim deferred, so the planned
-    // generation files stay on disk for this query's execution; concurrent
-    // readers likewise keep theirs); the NEXT query reads the folded
-    // layout. `cfg` must be the config the index was built with (shard
-    // layout + fold policy — same contract as buildIndexes); numeric folds
-    // keep their own default bucket layout, as buildIndexes does.
-    mergeOnSearch.foreach { cfg =>
-      memo.consultedTri.foreach(c =>
-        TrigramIndex.compactTiered(spark, triDir(indexRoot, c), cfg, reclaim = false))
-      memo.consultedNum.foreach(c =>
-        NumericIndex.compactTiered(spark, indexRoot, c,
-          maxGenerations = cfg.maxGenerations, tierFanout = cfg.tierFanout,
-          reclaim = false))
-    }
     base.filter(groups.map(groupPredicate).reduce(_ || _))
   }
 }

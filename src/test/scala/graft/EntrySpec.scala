@@ -83,6 +83,28 @@ class EntrySpec extends SparkTestBase {
     assert(captured(Array("clean", s"$t/idx")).contains("reclaimed 0"))
   }
 
+  test("CLI flag contract: unknown and verb-inapplicable flags are rejected") {
+    import vfsidx.Main.flagErrors
+    // clean invocations
+    assert(flagErrors(Array("search", "/tmp/x", "foo", "--output=json")).isEmpty)
+    assert(flagErrors(Array("query", "t", "v == 3",
+      "--index=/r", "--id=rid", "--merge=true", "--output=csv")).isEmpty)
+    assert(flagErrors(Array("info", "/tmp/x", "--keys=5")).isEmpty)
+    // unknown (misspelled) flag
+    assert(flagErrors(Array("query", "t", "v == 3", "--ouput=json"))
+      .exists(_.contains("unknown flag")))
+    // recognized flag on a verb that ignores it = usage error, not a
+    // silent no-op
+    assert(flagErrors(Array("search", "/tmp/x", "foo", "--merge=true"))
+      .exists(_.contains("does not apply")))
+    assert(flagErrors(Array("info", "/tmp/x", "--output=json"))
+      .exists(_.contains("does not apply")))
+    assert(flagErrors(Array("clean", "/tmp/x", "--keys=3"))
+      .exists(_.contains("does not apply")))
+    assert(flagErrors(Array("build", "/tmp/x", "--index=/r"))
+      .exists(_.contains("does not apply")))
+  }
+
   test("all queries run at sf0.001 and oracled ones return deterministic schemas") {
     val failures = scala.collection.mutable.ListBuffer[String]()
     SparkEntry.queries.foreach { case (name, fn) =>

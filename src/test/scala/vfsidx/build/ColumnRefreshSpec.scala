@@ -210,37 +210,39 @@ class ColumnRefreshSpec extends SparkTestBase {
     val root = tmpDir("colref_mos")
     val triCfg = TrigramIndex.TriConfig(numBuckets = 2, saltThreshold = 100, shardSize = 64)
     val triD = QueryParser.triDir(root, "title")
-    // a refresh driver that never compacts: 6 single-batch generations
-    val steps = Seq(0, 40, 80, 120, 160, 200, 240)
-    for (k <- 0 until 6) {
-      val slice = mkTable(steps(k + 1)).filter($"doc_id" >= steps(k))
+    // a refresh driver that never compacts: 8 single-batch generations
+    for (k <- 0 until 8) {
+      val slice = mkTable((k + 1) * 30).filter($"doc_id" >= k * 30)
       TrigramIndex.ingestBatch(spark, slice, "doc_id", "title", triD, k, triCfg)
       NumericIndex.ingestBatch(spark, slice, "doc_id", "n", root, k, numBuckets = 2)
     }
-    assert(TrigramIndex.generations(spark, triD).size == 6)
-    assert(NumericIndex.generations(spark, root, "n").size == 6)
+    assert(TrigramIndex.generations(spark, triD).size == 8)
+    assert(NumericIndex.generations(spark, root, "n").size == 8)
     val df = mkTable(240).cache()
+    def run(e: String): Seq[Long] = {
+      val a = QueryParser.queryIndexed(spark, df, "doc_id", root, e,
+          mergeOnSearch = Some(triCfg))
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+      assert(a == QueryParser.query(df, e).select($"doc_id").as[Long]
+        .collect().sorted.toSeq, s"expr: $e")
+      a
+    }
     // a predicate the planner does NOT consult (range fails the
-    // selectivity gate) must NOT fold its index — merge-on-search pays a
-    // re-shuffle only for indexes the query actually reads
-    val e0 = """n >= 10 && n < 20"""
-    QueryParser.queryIndexed(spark, df, "doc_id", root, e0,
-      mergeOnSearch = Some(triCfg)).collect()
-    assert(NumericIndex.generations(spark, root, "n").size == 6)
-    val e = """title.search("alpha") && n == 7"""
-    val a = QueryParser.queryIndexed(spark, df, "doc_id", root, e,
-        mergeOnSearch = Some(triCfg))
-      .select($"doc_id").as[Long].collect().sorted.toSeq
-    assert(a == QueryParser.query(df, e).select($"doc_id").as[Long].collect().sorted.toSeq)
-    // one tiered window folded per CONSULTED column; retirees kept on disk
-    // for concurrent readers (reclaim deferred to regist / CLI clean)
-    assert(TrigramIndex.generations(spark, triD).size < 6)
-    assert(NumericIndex.generations(spark, root, "n").size < 6)
-    // results stay identical after the fold, and a second query with the
-    // flag is a no-op once the count is back under the policy threshold
-    val a2 = QueryParser.queryIndexed(spark, df, "doc_id", root, e,
-        mergeOnSearch = Some(triCfg))
-      .select($"doc_id").as[Long].collect().sorted.toSeq
-    assert(a2 == a)
+    // selectivity gate: ~10/40 + sketch padding > 0.25) must NOT fold its
+    // index — merge-on-search pays a re-shuffle only for candidate sets
+    // the query actually reads
+    run("""n >= 10 && n < 20""")
+    assert(NumericIndex.generations(spark, root, "n").size == 8)
+    // a CONSULTED selective RANGE folds one tiered window per touched
+    // column; retirees kept on disk for concurrent readers (reclaim
+    // deferred to regist / CLI clean)
+    run("""title.search("alpha") && n >= 1 && n < 3""")
+    val triAfter1 = TrigramIndex.generations(spark, triD).size
+    val numAfter1 = NumericIndex.generations(spark, root, "n").size
+    assert(triAfter1 < 8 && numAfter1 < 8)
+    // a consulted EQUALITY folds again while still above the threshold
+    run("""title.search("beta") && n == 7""")
+    assert(TrigramIndex.generations(spark, triD).size < triAfter1)
+    assert(NumericIndex.generations(spark, root, "n").size < numAfter1)
   }
 }
