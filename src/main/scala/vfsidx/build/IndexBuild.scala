@@ -618,6 +618,7 @@ object IndexBuild {
       map.forEach((t, b) => emitKey(t, b, out))
       map.clear()
     }
+    def keyCount: Int = map.size()
   }
 
   /** Reduce side of the SPIMI merge: unpack one (term, pre_shard) group's

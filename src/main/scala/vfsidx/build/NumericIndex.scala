@@ -108,19 +108,28 @@ object NumericIndex {
         isIntegral(df.schema(numCol).dataType), root, numCol, 0, 0, numBuckets,
         force = false)
 
+  /** Rows per range bucket for a freshly-ingested generation: the
+    * projection is two longs per row (~16 B), so 256k rows ≈ 4 MB files. */
+  private val IngestRowsPerBucket = 1L << 18
+
   /** Seal `newRows` as generation `batchId_batchId` — O(new data).
     * `overwrite` bypasses the `_SUCCESS` gates for recovery-style callers
     * that recompute `newRows` freshly per attempt (writes are
-    * Overwrite-mode, so this stays idempotent). */
+    * Overwrite-mode, so this stays idempotent). The generation's bucket
+    * count is sized to ITS row count (capped at `numBuckets`): a small
+    * re-regist or stream epoch must not fan a tiny projection into 32
+    * near-empty parquet files that every later lookup then opens. */
   def ingestBatch(spark: SparkSession, newRows: DataFrame, idCol: String,
                   numCol: String, root: String, batchId: Int,
                   numBuckets: Int = 32, overwrite: Boolean = false): Unit = {
     val done = genTables(root, numCol)(batchId, batchId).forall(TableIO.done(spark, _))
     if (!overwrite && done) return
-    buildGeneration(spark,
-      newRows.select(col(numCol).cast("long").as("value"), col(idCol).cast("long").as("doc_id")),
+    val proj = newRows.select(
+      col(numCol).cast("long").as("value"), col(idCol).cast("long").as("doc_id"))
+    val buckets = IndexBuild.ingestBuckets(proj.count(), numBuckets, IngestRowsPerBucket)
+    buildGeneration(spark, proj,
       isIntegral(newRows.schema(numCol).dataType), root, numCol,
-      batchId, batchId, numBuckets, force = overwrite)
+      batchId, batchId, buckets, force = overwrite)
   }
 
   /** Write one generation from a (value, doc_id) projection: the single

@@ -22,12 +22,19 @@ import scala.collection.mutable.ArrayBuffer
   */
 private[build] object Spimi {
 
-  /** Map-side flush bound: postings accumulated per task before the partial
-    * lists are emitted as chunks (~32 MB of ids plus map overhead — well
-    * inside an executor-core's working share; flushed partial lists of one
-    * key merge on the reduce side like any other chunks, so the bound only
-    * trades chunk count for memory). */
+  /** Map-side flush bound on POSTINGS: postings accumulated per task before
+    * the partial lists are emitted as chunks. 4M scored postings ≈ 64 MB of
+    * parallel (id, tf, dl) arrays — inside an executor-core's working share.
+    * Flushed partial lists of one key merge on the reduce side like any
+    * other chunks, so the bound only trades chunk count for memory. */
   val FlushPostings: Int = 4 << 20
+
+  /** Map-side flush bound on DISTINCT KEYS. The postings bound alone does
+    * not cap residency: a tail-heavy partition (e.g. ~10^6 df=1 terms) can
+    * hold millions of map entries at the postings flush point, each costing
+    * ~200-300 B (entry + key + min-capacity arrays) — up to ~1 GB per task.
+    * Flushing at 512k distinct keys caps that overhead term at ~130 MB. */
+  val FlushKeys: Int = 1 << 19
 
   /** Map-side state for one task: consumes inputs, accumulates per-key
     * posting lists, emits chunks into a caller-supplied buffer. */
@@ -40,6 +47,9 @@ private[build] object Spimi {
 
     /** Emit every buffered list as chunks into `out` and clear the state. */
     def flushAll(out: ArrayBuffer[C]): Unit
+
+    /** Distinct keys currently buffered — the [[FlushKeys]] trigger input. */
+    def keyCount: Int
   }
 
   /** Lazy bounded-memory chunk driver: pull inputs, flush at
@@ -47,7 +57,8 @@ private[build] object Spimi {
     * they exist instead of accumulating the partition's whole output.
     * Exactly the chunks the eager loop would produce, in the same order. */
   def chunks[I, C](input: Iterator[I], acc: Accumulator[I, C],
-                   flushPostings: Int = FlushPostings): Iterator[C] =
+                   flushPostings: Int = FlushPostings,
+                   flushKeys: Int = FlushKeys): Iterator[C] =
     new Iterator[C] {
       private val out = ArrayBuffer.empty[C]
       private var pos = 0
@@ -58,7 +69,9 @@ private[build] object Spimi {
         out.clear(); pos = 0
         while (out.isEmpty && input.hasNext) {
           nBuffered += acc.add(input.next(), out)
-          if (nBuffered >= flushPostings) { acc.flushAll(out); nBuffered = 0 }
+          if (nBuffered >= flushPostings || acc.keyCount >= flushKeys) {
+            acc.flushAll(out); nBuffered = 0
+          }
         }
         if (out.isEmpty && !finished) { acc.flushAll(out); finished = true }
       }

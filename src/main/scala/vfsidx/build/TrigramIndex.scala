@@ -437,6 +437,7 @@ object TrigramIndex {
       map.foreach(emitKey)
       map.clear()
     }
+    def keyCount: Int = map.size
   }
 
   /** Reduce side of the SPIMI merge: unpack one (key, pre_shard) group's
@@ -552,6 +553,8 @@ object TrigramIndex {
       java.util.Arrays.fill(vals.asInstanceOf[Array[AnyRef]], null)
       n = 0
     }
+
+    def size: Int = n
   }
 
   /** Candidate doc_ids containing ALL trigram keys of `needle` — the

@@ -274,23 +274,32 @@ object VarByte {
         i += 1
       }
     }
-    def qs(lo: Int, hi: Int): Unit = {
-      if (hi - lo < 32) { insertion(lo, hi); return }
-      val mid = lo + (hi - lo) / 2
-      // median-of-three pivot
-      if (ids(mid) < ids(lo)) swap(lo, mid)
-      if (ids(hi) < ids(lo)) swap(lo, hi)
-      if (ids(hi) < ids(mid)) swap(mid, hi)
-      val pivot = ids(mid)
-      var i = lo
-      var j = hi
-      while (i <= j) {
-        while (ids(i) < pivot) i += 1
-        while (ids(j) > pivot) j -= 1
-        if (i <= j) { swap(i, j); i += 1; j -= 1 }
+    // Recurse only into the SMALLER partition and loop on the larger:
+    // stack depth is then O(log n) regardless of pivot quality. The pooled
+    // ids are concatenations of sorted runs (not random), so a pivot-adverse
+    // distribution over a multi-million-posting reduce group could otherwise
+    // drive O(n) recursion depth and a StackOverflowError inside a task.
+    def qs(lo0: Int, hi0: Int): Unit = {
+      var lo = lo0
+      var hi = hi0
+      while (hi - lo >= 32) {
+        val mid = lo + (hi - lo) / 2
+        // median-of-three pivot
+        if (ids(mid) < ids(lo)) swap(lo, mid)
+        if (ids(hi) < ids(lo)) swap(lo, hi)
+        if (ids(hi) < ids(mid)) swap(mid, hi)
+        val pivot = ids(mid)
+        var i = lo
+        var j = hi
+        while (i <= j) {
+          while (ids(i) < pivot) i += 1
+          while (ids(j) > pivot) j -= 1
+          if (i <= j) { swap(i, j); i += 1; j -= 1 }
+        }
+        if (j - lo < hi - i) { if (lo < j) qs(lo, j); lo = i }
+        else { if (i < hi) qs(i, hi); hi = j }
       }
-      if (lo < j) qs(lo, j)
-      if (i < hi) qs(i, hi)
+      if (lo < hi) insertion(lo, hi)
     }
     if (ids.length > 1) qs(0, ids.length - 1)
   }

@@ -57,6 +57,32 @@ class SpimiSpec extends AnyFunSuite {
     assert(decodeAll(chunks).sorted == input.sorted)
   }
 
+  test("chunks flushes on distinct-key count, not only postings count") {
+    // a tail-heavy partition (millions of df=1 keys) must flush before the
+    // postings bound: key-entry overhead, not posting count, is what OOMs
+    final class Acc extends Spimi.Accumulator[(Long, Long), (Long, Int)] {
+      val map = scala.collection.mutable.LinkedHashMap.empty[Long, Int]
+      var maxKeys = 0
+      def add(kv: (Long, Long), out: ArrayBuffer[(Long, Int)]): Int = {
+        map(kv._1) = map.getOrElse(kv._1, 0) + 1
+        maxKeys = math.max(maxKeys, map.size)
+        1
+      }
+      def flushAll(out: ArrayBuffer[(Long, Int)]): Unit = {
+        map.foreach { case (k, c) => out += ((k, c)) }
+        map.clear()
+      }
+      def keyCount: Int = map.size
+    }
+    val acc = new Acc
+    val input = (0 until 100).map(i => (i.toLong, i.toLong))
+    val chunks = Spimi.chunks(input.iterator, acc,
+      flushPostings = Int.MaxValue, flushKeys = 8).toSeq
+    assert(acc.maxKeys <= 8, s"accumulator held ${acc.maxKeys} keys past the flush bound")
+    assert(chunks.map(_._2).sum == 100)
+    assert(chunks.map(_._1).distinct.sorted == (0L until 100L))
+  }
+
   test("chunk driver is lazy: chunks drain before the input is exhausted") {
     var consumed = 0
     val n = 10000

@@ -147,6 +147,32 @@ class VarByteSpec extends AnyFunSuite {
     }
   }
 
+  test("sortPostings stays within a tiny thread stack (O(log n) recursion depth)") {
+    // a reduce group pools up to preShardDocs (~4.2M) postings whose ids are
+    // concatenations of sorted runs — a pivot-adverse distribution must not
+    // drive O(n) recursion depth. 2M elements under a 256 KB stack passes
+    // only with the recurse-smaller / loop-larger scheme.
+    val n = 2000000
+    val ids = new Array[Long](n)
+    // many ascending runs laid back-to-back (the real chunk-pool shape)
+    val runLen = 1024
+    var i = 0
+    // distinct by construction: 2048 > n/runLen, so (a, b) -> a*2048 + b is injective
+    while (i < n) { ids(i) = (i % runLen).toLong * 2048 + i / runLen + 1; i += 1 }
+    val tfs = ids.map(id => (id % 7).toInt + 1)
+    val dls = ids.map(id => (id % 11).toInt + 1)
+    var failure: Option[Throwable] = None
+    val t = new Thread(null, () => {
+      try VarByte.sortPostings(ids, tfs, dls)
+      catch { case e: Throwable => failure = Some(e) }
+    }, "tiny-stack-sort", 256 * 1024)
+    t.start(); t.join()
+    assert(failure.isEmpty, s"sort failed under a 256 KB stack: $failure")
+    var j = 1
+    while (j < n) { assert(ids(j - 1) < ids(j)); j += 1 }
+    assert(ids.indices.forall(k => tfs(k) == (ids(k) % 7).toInt + 1))
+  }
+
   test("ids-only codec: per-block decode reproduces the list, blocks cover it") {
     val rng = new scala.util.Random(23)
     for (_ <- 0 until 200) {
