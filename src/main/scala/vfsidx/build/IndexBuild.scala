@@ -253,7 +253,7 @@ object IndexBuild {
     * mtime tick, the edge a bare `_SUCCESS`-mtime token missed — changes
     * the token and invalidates the entry. One entry per directory key; a
     * long-lived driver replaces, never accumulates. */
-  private[build] final class StatsCache[T] {
+  private[vfsidx] final class StatsCache[T] {
     private val cache =
       new java.util.concurrent.ConcurrentHashMap[String, (String, T)]()
     /** Validity token over the given stats-table dirs. */

@@ -212,25 +212,49 @@ object QueryParser {
     * then folds via the tiered policy when generations accumulate. The
     * REFRESH requires ids of appended rows to be increasing (the engine's
     * dense-id ingest guarantees it); a table violating that — e.g. an
-    * append filling an id gap below the watermark — is not refreshed here,
-    * but IS caught by [[queryIndexed]]'s staleness guard, whose row-count
-    * comparison sees any append regardless of id order (scan fallback).
+    * append filling an id gap below the watermark — is detected here (the
+    * table's at-or-below-watermark row count no longer matches the index's
+    * covered count) and repairs by REBUILDING the column, since a
+    * watermark-based refresh can never see those rows. Until the rebuild
+    * runs, [[queryIndexed]]'s staleness guard keeps answers exact (its
+    * row-count comparison sees any append regardless of id order — scan
+    * fallback).
     * Crash-safe without a WAL: `newRows` is recomputed from the committed
     * watermark each attempt and the ingest overwrites the (uncommitted)
     * slot it re-derives. */
   def buildIndexes(spark: SparkSession, df: DataFrame, idCol: String,
                    strCols: Seq[String], numCols: Seq[String], root: String,
                    triCfg: TrigramIndex.TriConfig = TrigramIndex.TriConfig()): Unit = {
+    // (rows at-or-below the covered watermark, rows above it) in ONE agg.
+    // The below-count is the GAP-FILL detector: the refresh only ingests
+    // rows with id > covered, so an append that fills an id gap BELOW the
+    // watermark is invisible to it — re-running regist would never see
+    // those rows and the column would degrade to scan fallback permanently.
+    // A below-count differing from the index's covered row count means
+    // exactly that happened: the only repair is a rebuild of the column
+    // (queryIndexed's guard keeps answers exact in the interim).
+    def belowAbove(covered: Long): (Long, Long) = {
+      val idL = col(idCol).cast("long")
+      val r = df.agg(count(when(idL <= covered, 1)), count(when(idL > covered, 1))).head()
+      (r.getLong(0), r.getLong(1))
+    }
     strCols.foreach { c =>
       val dir = triDir(root, c)
       // reclaim what the PREVIOUS regist's compaction retired (grace period
       // = one regist cycle, same pattern as the refresh driver)
       TrigramIndex.vacuum(spark, dir)
-      TrigramIndex.coveredMaxDocId(spark, dir) match {
+      TrigramIndex.statsMerged(spark, dir) match {
         case None => TrigramIndex.build(spark, df, idCol, c, dir, triCfg)
-        case Some(covered) =>
-          val newRows = df.filter(col(idCol).cast("long") > covered)
-          if (!newRows.isEmpty) {
+        case Some(st) =>
+          val (below, above) = belowAbove(st.max_doc_id)
+          if (below != st.n_rows) {
+            System.err.println(s"vfsidx: tri/$c covers ${st.n_rows} rows up to id " +
+              s"${st.max_doc_id} but the table holds $below rows at or below it " +
+              "(an append filled an id gap below the watermark) - rebuilding the column")
+            vfsidx.build.IndexBuild.TableIO.rmrf(spark, dir)
+            TrigramIndex.build(spark, df, idCol, c, dir, triCfg)
+          } else if (above > 0) {
+            val newRows = df.filter(col(idCol).cast("long") > st.max_doc_id)
             // slot past everything PRESENT (committed, partial, or merely
             // reserved by a crashed stream epoch/refresh — maxBatch sees
             // reserved dirs, so this can never collide with a slot a
@@ -248,17 +272,23 @@ object QueryParser {
     }
     numCols.foreach { c =>
       NumericIndex.vacuum(spark, root, c)
-      if (!NumericIndex.exists(spark, root, c))
-        NumericIndex.build(spark, df, idCol, c, root)
-      else {
-        val covered = NumericIndex.stats(spark, root, c).map(_.max_doc_id).getOrElse(-1L)
-        val newRows = df.filter(col(idCol).cast("long") > covered)
-        if (!newRows.isEmpty) {
-          val slot = NumericIndex.maxBatch(spark, root, c) + 1
-          NumericIndex.ingestBatch(spark, newRows, idCol, c, root, slot,
-            overwrite = true)
-          NumericIndex.compactTiered(spark, root, c, reclaim = false)
-        }
+      NumericIndex.stats(spark, root, c) match {
+        case None => NumericIndex.build(spark, df, idCol, c, root)
+        case Some(st) =>
+          val (below, above) = belowAbove(st.max_doc_id)
+          if (below != st.n_rows) {
+            System.err.println(s"vfsidx: num/$c covers ${st.n_rows} rows up to id " +
+              s"${st.max_doc_id} but the table holds $below rows at or below it " +
+              "(an append filled an id gap below the watermark) - rebuilding the column")
+            vfsidx.build.IndexBuild.TableIO.rmrf(spark, NumericIndex.colDir(root, c))
+            NumericIndex.build(spark, df, idCol, c, root)
+          } else if (above > 0) {
+            val newRows = df.filter(col(idCol).cast("long") > st.max_doc_id)
+            val slot = NumericIndex.maxBatch(spark, root, c) + 1
+            NumericIndex.ingestBatch(spark, newRows, idCol, c, root, slot,
+              overwrite = true)
+            NumericIndex.compactTiered(spark, root, c, reclaim = false)
+          }
       }
     }
   }
@@ -275,6 +305,48 @@ object QueryParser {
   /** Stable identity of one candidate set — the memo key AND the unit of
     * common-conjunct hoisting across DNF groups. */
   private final case class CandKey(kind: String, col: String, detail: String)
+
+  /** Table-watermark cache for the staleness guard. The guard needs the
+    * table's (row count, max id); an O(table) agg per indexed query would be
+    * the one full-scan term left on the query path at 100× scale. For
+    * FILE-BACKED tables the agg result is cached and token-validated by the
+    * input files' parent-directory listings (names + lengths + mtimes —
+    * the [[vfsidx.build.IndexBuild.StatsCache]] token), so the steady state
+    * is O(metadata): any append, rewrite, or compaction of the table changes
+    * a listing, invalidates the entry, and the recomputed watermark still
+    * degrades stale conjuncts to scan predicates. The reference never pays a
+    * scan here either — its dirty detection is file-existence
+    * (/root/reference/record.go:46-82). Non-file-backed frames (in-memory
+    * tables, views with no files) have no listing to token-validate and
+    * recompute per call, the pre-cache behavior. */
+  private[vfsidx] object TableWatermark {
+    private val cache = new vfsidx.build.IndexBuild.StatsCache[Option[(Long, Long)]]
+
+    /** Watermark agg jobs actually run — observability for the cache
+      * contract (a second query over an unchanged table must not add one). */
+    val aggRuns = new java.util.concurrent.atomic.AtomicLong()
+
+    def of(df: DataFrame, idCol: String): Option[(Long, Long)] = {
+      def compute(): Option[(Long, Long)] = {
+        aggRuns.incrementAndGet()
+        val r = df.agg(count(lit(1)), max(col(idCol).cast("long"))).head()
+        if (r.getLong(0) == 0L) None else Some((r.getLong(0), r.getLong(1)))
+      }
+      val files = df.inputFiles
+      if (files.isEmpty) compute()
+      else {
+        val parents = files.map(f =>
+          new org.apache.hadoop.fs.Path(f).getParent.toString).distinct.sorted.toSeq
+        // The key must identify the FRAME, not just its files: two plans
+        // over the same table (a filtered view vs the table itself) have
+        // different watermarks. semanticHash distinguishes plans; the parent
+        // dirs keep the key stable across refreshes of the same table.
+        val key = parents.mkString(",") + "#" + idCol + "#" +
+          df.queryExecution.analyzed.semanticHash()
+        cache.getOrCompute(key, cache.token(df.sparkSession, parents))(compute())
+      }
+    }
+  }
 
   /** Per-[[queryIndexed]]-call memo. DNF distribution repeats the same
     * conjunct in many groups (`s && (a || b)` puts `s` in both); memoizing
@@ -438,14 +510,13 @@ object QueryParser {
                    mergeOnSearch: Option[TrigramIndex.TriConfig] = None): DataFrame = {
     val groups = parseQuery(q)
     // the table's (row count, max id) watermark for the staleness guard —
-    // ONE id-column-pruned agg job, evaluated lazily (only when a candidate
-    // index is consulted) and shared across all conjunct groups. This is
-    // the price of never serving a stale index; the per-conjunct cost gate
-    // itself stays job-free (persisted sketches).
-    lazy val tableWatermark: Option[(Long, Long)] = {
-      val r = df.agg(count(lit(1)), max(col(idCol).cast("long"))).head()
-      if (r.getLong(0) == 0L) None else Some((r.getLong(0), r.getLong(1)))
-    }
+    // evaluated lazily (only when a candidate index is consulted), shared
+    // across all conjunct groups, and CACHED per table ([[TableWatermark]]):
+    // an unchanged file-backed table answers from the token-validated cache
+    // with zero jobs, so the guard costs O(file metadata) per query in the
+    // steady state, never an O(table) agg. The per-conjunct cost gate
+    // likewise stays job-free (persisted sketches).
+    lazy val tableWatermark: Option[(Long, Long)] = TableWatermark.of(df, idCol)
     val memo = new QueryMemo(spark, indexRoot, () => tableWatermark)
     val sets = groups.map(g => groupCandidates(g, memo))
     def intersect(dfs: Seq[DataFrame]): DataFrame =

@@ -74,6 +74,63 @@ class ColumnRefreshSpec extends SparkTestBase {
     checkIdentical(root, t0)
   }
 
+  test("gap-filling append BELOW the watermark forces a column rebuild on re-regist") {
+    val root = tmpDir("colref_gapfill")
+    val full = mkTable(150).cache()
+    // ids 0..49 and 100..149 first: the index's watermark lands at 149
+    val gappy = full.filter($"doc_id" < 50 || $"doc_id" >= 100).cache()
+    val triCfg = TrigramIndex.TriConfig(numBuckets = 4, saltThreshold = 100, shardSize = 64)
+    QueryParser.buildIndexes(spark, gappy, "doc_id", Seq("title"), Seq("n"), root, triCfg)
+    assert(TrigramIndex.statsMerged(spark, QueryParser.triDir(root, "title"))
+      .contains(TriStats(100L, 149L)))
+    // the gap fills (ids 50..99 appear, all below the covered watermark):
+    // a watermark-based refresh can never see them — re-regist must REBUILD
+    QueryParser.buildIndexes(spark, full, "doc_id", Seq("title"), Seq("n"), root, triCfg)
+    assert(TrigramIndex.statsMerged(spark, QueryParser.triDir(root, "title"))
+      .contains(TriStats(150L, 149L)), "trigram column was not rebuilt over the filled gap")
+    assert(NumericIndex.stats(spark, root, "n").exists(_.n_rows == 150L),
+      "numeric column was not rebuilt over the filled gap")
+    // rebuilt = fresh again: indexed answers row-identical, including a
+    // needle that lives ONLY in the gap rows
+    checkIdentical(root, full)
+    assert(QueryParser.queryIndexed(spark, full, "doc_id", root,
+      """title.search("item77")""").count() == 1L)
+  }
+
+  test("table watermark is cached for file-backed tables; appends invalidate the token") {
+    val root = tmpDir("colref_wmcache")
+    val tableDir = tmpDir("colref_wmtable")
+    mkTable(100).write.mode("overwrite").parquet(tableDir)
+    val triCfg = TrigramIndex.TriConfig(numBuckets = 4, saltThreshold = 100, shardSize = 64)
+    QueryParser.buildIndexes(spark, spark.read.parquet(tableDir), "doc_id",
+      Seq("title"), Seq("n"), root, triCfg)
+    def q(): Seq[Long] =
+      QueryParser.queryIndexed(spark, spark.read.parquet(tableDir), "doc_id", root,
+        """title.search("item12") || n == 7""")
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+    val r1 = q()
+    val runsAfterFirst = QueryParser.TableWatermark.aggRuns.get()
+    // second query over the UNCHANGED table: the watermark must come from
+    // the token-validated cache — zero additional agg jobs
+    assert(q() == r1)
+    assert(QueryParser.TableWatermark.aggRuns.get() == runsAfterFirst,
+      "a second query over an unchanged table re-ran the watermark agg")
+    // the table grows (file listing changes -> token invalidates): the
+    // recomputed watermark sees the new rows and the guard degrades the
+    // now-stale index to a scan — row-identical, never dropping matches
+    mkTable(150).filter($"doc_id" >= 100).write.mode("append").parquet(tableDir)
+    val grown = spark.read.parquet(tableDir)
+    val expected = QueryParser.query(grown,
+      """title.search("item12") || n == 7""")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val got = QueryParser.queryIndexed(spark, grown, "doc_id", root,
+      """title.search("item12") || n == 7""")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(got == expected, "stale-table differential broke after the append")
+    assert(QueryParser.TableWatermark.aggRuns.get() > runsAfterFirst,
+      "the grown table did not invalidate the watermark cache")
+  }
+
   test("directory refresh (Ingest) keeps registered per-column indexes fresh; bounded generations") {
     val data = tmpDir("colref_data")
     val idx = tmpDir("colref_idx")
