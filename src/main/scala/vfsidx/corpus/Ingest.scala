@@ -12,10 +12,14 @@ import org.apache.spark.sql.functions._
   * — the reference's `.lz4` path, S3) plus a deterministic dense docID.
   *
   * docID assignment at 10^12-row scale cannot be a global sort or a driver
-  * collect: we use the standard two-phase scheme — count rows per partition,
-  * broadcast the per-partition offsets (one long per partition), then
-  * docID = offset(partition) + local index. Deterministic for a fixed file
-  * listing (Spark orders splits deterministically by file path/offset).
+  * collect: [[withDocIds]] stamps ids as a pure function of
+  * (file rank, row position in file) — per-file counts plus a narrow
+  * ordinal map, no shuffle — which is deterministic across Spark
+  * configurations, sessions and crash-recovery replays. [[toCorpus]] (the
+  * one-shot corpus readers) keeps the lighter partition-offset scheme:
+  * deterministic for a fixed file listing and session config, which is all
+  * a one-shot read needs — durable incremental indexes go through the
+  * refresh/stream paths and get the file-ordinal ids.
   */
 object Ingest {
 
@@ -51,28 +55,145 @@ object Ingest {
     }
   }
 
-  /** Attach a dense doc_id column (named `idCol`) to any frame, starting at
-    * `idOffset` — the same deterministic two-phase scheme as [[toCorpus]],
-    * but keeping EVERY source column: one id assignment then feeds the
-    * corpus AND every registered per-column index (they must agree on ids).
-    * Callers that consume the result more than once should persist `df`
-    * first (the refresh/stream paths do): the counting pass, the id pass
-    * and all downstream consumers then parse the source exactly once. */
-  def withDocIds(df: DataFrame, idCol: String, idOffset: Long): DataFrame = {
+  /** One ingested file's id range: `base` is the dense doc_id of its first
+    * row, rows are numbered `base until base + n_docs` in file byte order. */
+  final case class FilePart(path: String, n_docs: Long, base: Long)
+
+  /** Internal file column attached while stamping ids. */
+  private val FileCol = "__vfs_file"
+
+  /** Split-planning pin: while stamping ids, every input file is read WHOLE
+    * by exactly one task (`maxSplitBytes` = `openCostInBytes` =
+    * `maxPartitionBytes` = 4 TB ⇒ no file is ever split and every bin
+    * closes after one file). A single data file above 4 TB is outside the
+    * design envelope (the reference reads and mmaps whole files too,
+    * /root/reference/record.go:155-192) and is rejected loudly below. */
+  private val SplitPin = 1L << 42
+
+  /** Attach a dense doc_id column (named `idCol`) to `df`, starting at
+    * `idOffset`, and hand the stamped frame (plus the per-file id ranges)
+    * to `use` — a loan: an internal persist backs every pass and consumer
+    * action, and is dropped when `use` returns.
+    *
+    * The id is a pure function of **(data file, row position in the file)**
+    * — the Spark restatement of the reference's `(inode, offset)` row
+    * identity (/root/reference/record.go:18-23): files are ranked by path,
+    * rows numbered in file byte order. Crucially the assignment is
+    * CONFIG-INDEPENDENT: it does not vary with
+    * `spark.sql.files.maxPartitionBytes`, parallelism, or AQE decisions, so
+    * a crash-recovery re-run under different Spark settings re-stamps
+    * byte-identical ids — committed word runs and re-derived per-column
+    * rewrites can never drift apart. Mechanics:
+    *
+    *   pass 1: per-file row counts (`groupBy(input_file_name)`) — counts
+    *           are split-independent by definition; file ranks = sorted
+    *           paths, bases = prefix sums (one tiny driver array).
+    *   pass 2: a narrow per-partition map assigns `base(file) + ordinal`.
+    *           Correct because the split-planning pin (see [[SplitPin]])
+    *           guarantees each file is read whole by one task, so a
+    *           partition holds each file's rows contiguously in byte order.
+    *
+    * No shuffle, no RDD (north_rule), no dependence on partition ids across
+    * jobs. Requirements: `df` must be file-backed (JSON/CSV/parquet scans;
+    * a fully in-memory frame falls back to a partition-offset scheme that is
+    * deterministic only within this loan — fine for tests, not for durable
+    * indexes) and must not read the same file twice (no self-unions). */
+  def withDocIds[A](df: DataFrame, idCol: String, idOffset: Long)
+                   (use: (DataFrame, Seq[FilePart]) => A): A = {
     val spark = df.sparkSession
-    // BOTH passes (zipWithIndex's internal count job, then the id map) run
-    // over this ONE compiled RDD, so their partitioning is identical by
-    // construction — even for inputs whose SQL plan contains a shuffle that
-    // AQE could re-coalesce differently across separate DataFrame jobs.
-    // (One of the few justified RDD drops: a deterministic global
-    // enumeration is per-partition imperative logic.)
-    val withIdx = df.rdd.zipWithIndex()
-    val outSchema = df.schema.add(idCol, org.apache.spark.sql.types.LongType,
-      nullable = false)
-    spark.createDataFrame(
-      withIdx.map { case (r, i) =>
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (idOffset + i))
-      }, outSchema)
+    val conf = spark.conf
+    val prevMax = conf.getOption("spark.sql.files.maxPartitionBytes")
+    val prevCost = conf.getOption("spark.sql.files.openCostInBytes")
+    def restore(key: String, v: Option[String]): Unit =
+      v match { case Some(s) => conf.set(key, s); case None => conf.unset(key) }
+    // files a pinned read cannot keep whole are rejected up front (driver
+    // metadata, one stat per input file — the same order of FS calls the
+    // refresh's own directory listing already pays)
+    val inputs = df.inputFiles
+    if (inputs.nonEmpty && inputs.length <= 50000) {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      inputs.foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val len = hp.getFileSystem(hconf).getFileStatus(hp).getLen
+        require(len < SplitPin,
+          s"$p is $len bytes — larger than the ${SplitPin}B whole-file ingest " +
+            "bound; split the file (ids are per-file, a file must fit one task)")
+      }
+    }
+    conf.set("spark.sql.files.maxPartitionBytes", SplitPin.toString)
+    conf.set("spark.sql.files.openCostInBytes", SplitPin.toString)
+    val keyed = df.withColumn(FileCol, input_file_name())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // pass 1 — ALSO the cache materialization, so the whole-file pin is
+      // frozen into the cached partitioning before any conf restore
+      val counts: Array[(String, Long)] = {
+        import spark.implicits._
+        keyed.groupBy(col(FileCol)).count().as[(String, Long)].collect()
+      }
+      val fileBacked = counts.forall(_._1.nonEmpty)
+      val (stamped, parts) =
+        if (fileBacked) {
+          val ranked = counts.sortBy(_._1)
+          val bases = ranked.scanLeft(idOffset)(_ + _._2)
+          val parts = ranked.zip(bases).map { case ((p, n), b) => FilePart(p, n, b) }
+          val baseMap = parts.map(fp => fp.path -> fp.base).toMap
+          val bc = spark.sparkContext.broadcast(baseMap)
+          val outSchema = df.schema.add(idCol,
+            org.apache.spark.sql.types.LongType, nullable = false)
+          val enc = org.apache.spark.sql.Encoders.row(outSchema)
+          val nCols = df.schema.size
+          val out = keyed.mapPartitions { it =>
+            // rows of one file are contiguous and in byte order (whole-file
+            // reads); a partition may still hold several small files
+            var cur: String = null
+            var base = 0L
+            var ord = 0L
+            it.map { r =>
+              val f = r.getString(nCols)
+              if (f != cur) { cur = f; base = bc.value(f); ord = 0L }
+              val id = base + ord
+              ord += 1L
+              org.apache.spark.sql.Row.fromSeq(
+                (0 until nCols).map(r.get) :+ id)
+            }
+          }(enc)
+          (out, parts.toSeq)
+        } else {
+          // in-memory fallback: partition offsets over the (frozen) cache —
+          // deterministic for the lifetime of this loan only
+          require(counts.forall(_._1.isEmpty),
+            "withDocIds input mixes file-backed and in-memory rows — ids " +
+              "would not be stable; ingest from files only")
+          import spark.implicits._
+          val pc = keyed.select(lit(1).as("one")).as[Int].mapPartitions { it =>
+            Iterator.single((org.apache.spark.TaskContext.getPartitionId(), it.size.toLong))
+          }.collect().sortBy(_._1).map(_._2)
+          val offsets = pc.scanLeft(idOffset)(_ + _)
+          val bc = spark.sparkContext.broadcast(offsets)
+          val outSchema = df.schema.add(idCol,
+            org.apache.spark.sql.types.LongType, nullable = false)
+          val enc = org.apache.spark.sql.Encoders.row(outSchema)
+          val nCols = df.schema.size
+          val out = keyed.mapPartitions { it =>
+            val base = bc.value(org.apache.spark.TaskContext.getPartitionId())
+            it.zipWithIndex.map { case (r, j) =>
+              org.apache.spark.sql.Row.fromSeq(
+                (0 until nCols).map(r.get) :+ (base + j))
+            }
+          }(enc)
+          (out, Seq.empty[FilePart])
+        }
+      // the pin only needs to cover the cache materialization above;
+      // restore before running the caller's (possibly heavy) consumers
+      restore("spark.sql.files.maxPartitionBytes", prevMax)
+      restore("spark.sql.files.openCostInBytes", prevCost)
+      use(stamped, parts)
+    } finally {
+      restore("spark.sql.files.maxPartitionBytes", prevMax)
+      restore("spark.sql.files.openCostInBytes", prevCost)
+      keyed.unpersist()
+    }
   }
 
   /** JSON or JSONL directory/file (the reference's primary format, S1). */
@@ -260,12 +381,9 @@ object Ingest {
         val (slot, colSlots, baseOpt) =
           slotFor(epochId, IndexBuild.docCount(spark, indexDir))
         val base = baseOpt.getOrElse(IndexBuild.docCount(spark, indexDir))
-        // persist UNDER the id stamping: one micro-batch parse, consumers
-        // re-run only the cached-scan + id map (see refresh ingestFiles)
-        val rawCached = df.select(needed.map(col): _*)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val rawIds = withDocIds(rawCached, IdCol, base)
+        // the loan persists the micro-batch parse once; every consumer
+        // re-runs only the cached-scan + id map (see refresh ingestFiles)
+        withDocIds(df.select(needed.map(col): _*), IdCol, base) { (rawIds, _) =>
           val corpus = corpusFromIds(rawIds, contentCol, repo = s"stream/batch=$slot")
           IndexBuild.ingestBatch(spark, corpus, indexDir, slot, cfg)
           // size-tiered auto-fold: bounded work (one small window), never
@@ -280,8 +398,8 @@ object Ingest {
             System.err.println(s"vfsidx: epoch $epochId replayed from a " +
               "pre-upgrade slot file (no recorded base) - per-column indexes " +
               "skipped for this epoch; run regist to refresh them")
-          ()
-        } finally rawCached.unpersist()
+        }
+        ()
         }
       }
       .start()
@@ -471,16 +589,13 @@ object Ingest {
           s"the content field or a registered per-column index (have: " +
           s"${raw.columns.mkString(", ")})")
       // ONE id assignment feeds the corpus and every per-column index. The
-      // persist sits UNDER the id stamping, so the JSON/CSV parse happens
-      // exactly once (zipWithIndex's count job materializes the cache) and
-      // every consumer — word tokenize, each per-column ingest, doc_stats —
+      // loan's internal persist means the JSON/CSV parse happens exactly
+      // once (the per-file count pass materializes the cache) and every
+      // consumer — word tokenize, each per-column ingest, doc_stats —
       // re-runs only the cheap cached-scan + id map. Reference M1's single
       // tokenize pass over new files, /root/reference/column.go:139-176.
-      val rawCached = raw.select(needed.map(col): _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val rawIds = withDocIds(rawCached, IdCol, base)
-        val nNew = rawIds.count()
+      withDocIds(raw.select(needed.map(col): _*), IdCol, base) { (rawIds, parts) =>
+        val nNew = parts.map(_.n_docs).sum
         val corpus = corpusFromIds(rawIds, contentCol, repo = s"refresh/batch=$slot")
         if (initial) IndexBuild.build(spark, corpus, indexDir, cfg.copy(numBatches = 1))
         else {
@@ -499,7 +614,7 @@ object Ingest {
           fls.map(f => CatalogRow(f, slot, nNew, base)).toSeq.toDF(),
           catalogDir(indexDir))
         nNew
-      } finally rawCached.unpersist()
+      }
     }
 
     // ---- recovery: finish a crashed refresh before planning a new one ----

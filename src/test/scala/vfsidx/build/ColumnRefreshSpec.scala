@@ -145,11 +145,13 @@ class ColumnRefreshSpec extends SparkTestBase {
     assert(Ingest.refreshJson(spark, idx, data, "content", cfg) == ((1, 2L)))
     // register per-column indexes over the ingested corpus (ids re-derived
     // with the same deterministic assignment the refresh used)
-    val first = Ingest.withDocIds(
-      spark.read.json(s"$data/a.json").select($"title", $"n"), "doc_id", 0L)
-    TrigramIndex.build(spark, first, "doc_id", "title", s"$idx/tri/title",
-      TrigramIndex.TriConfig(numBuckets = 2, saltThreshold = 100, shardSize = 64))
-    NumericIndex.build(spark, first, "doc_id", "n", idx, numBuckets = 2)
+    Ingest.withDocIds(
+      spark.read.json(s"$data/a.json").select($"title", $"n"), "doc_id", 0L) {
+      (first, _) =>
+        TrigramIndex.build(spark, first, "doc_id", "title", s"$idx/tri/title",
+          TrigramIndex.TriConfig(numBuckets = 2, saltThreshold = 100, shardSize = 64))
+        NumericIndex.build(spark, first, "doc_id", "n", idx, numBuckets = 2)
+    }
     assert(Ingest.registeredCols(spark, idx) == ((Seq("title"), Seq("n"))))
 
     // refresh with new files: word AND per-column indexes advance together
@@ -197,11 +199,13 @@ class ColumnRefreshSpec extends SparkTestBase {
           s"""{"content": "$c", "title": "$t", "n": $n}"""
         }.mkString("\n").getBytes("UTF-8"))
     writeFile("r0.json", Seq(("alpha body", "replay first", 3)))
-    val empty = Ingest.withDocIds(
-      spark.read.json(s"$data/r0.json").select($"title", $"n").limit(0), "doc_id", 0L)
-    TrigramIndex.build(spark, empty, "doc_id", "title", s"$idx/tri/title",
-      TrigramIndex.TriConfig(numBuckets = 2, saltThreshold = 100, shardSize = 64))
-    NumericIndex.build(spark, empty, "doc_id", "n", idx, numBuckets = 2)
+    Ingest.withDocIds(
+      spark.read.json(s"$data/r0.json").select($"title", $"n").limit(0), "doc_id", 0L) {
+      (empty, _) =>
+        TrigramIndex.build(spark, empty, "doc_id", "title", s"$idx/tri/title",
+          TrigramIndex.TriConfig(numBuckets = 2, saltThreshold = 100, shardSize = 64))
+        NumericIndex.build(spark, empty, "doc_id", "n", idx, numBuckets = 2)
+    }
 
     Ingest.streamJson(spark, idx, data, "content", ckpt, cfg)
     // simulate the crash window: drop the commit-log entry for the last
@@ -244,11 +248,13 @@ class ColumnRefreshSpec extends SparkTestBase {
         }.mkString("\n").getBytes("UTF-8"))
     writeFile("s0.json", Seq(("alpha body", "streamed first", 3)))
     // register BEFORE any stream so gen 0 covers the (empty) start
-    val empty = Ingest.withDocIds(
-      spark.read.json(s"$data/s0.json").select($"title", $"n").limit(0), "doc_id", 0L)
-    TrigramIndex.build(spark, empty, "doc_id", "title", s"$idx/tri/title",
-      TrigramIndex.TriConfig(numBuckets = 2, saltThreshold = 100, shardSize = 64))
-    NumericIndex.build(spark, empty, "doc_id", "n", idx, numBuckets = 2)
+    Ingest.withDocIds(
+      spark.read.json(s"$data/s0.json").select($"title", $"n").limit(0), "doc_id", 0L) {
+      (empty, _) =>
+        TrigramIndex.build(spark, empty, "doc_id", "title", s"$idx/tri/title",
+          TrigramIndex.TriConfig(numBuckets = 2, saltThreshold = 100, shardSize = 64))
+        NumericIndex.build(spark, empty, "doc_id", "n", idx, numBuckets = 2)
+    }
 
     Ingest.streamJson(spark, idx, data, "content", ckpt, cfg)
     writeFile("s1.json", Seq(("beta body", "streamed second", 4)))
@@ -301,5 +307,47 @@ class ColumnRefreshSpec extends SparkTestBase {
     run("""title.search("beta") && n == 7""")
     assert(TrigramIndex.generations(spark, triD).size < triAfter1)
     assert(NumericIndex.generations(spark, root, "n").size < numAfter1)
+  }
+
+  test("doc ids are (file rank, row-in-file) — identical under different split configs") {
+    // The round-4 advisor's id-alignment hazard: recovery re-stamping ids
+    // under CHANGED Spark config (maxPartitionBytes / parallelism) must
+    // produce byte-identical ids, or committed word runs and recomputed
+    // per-column rewrites silently disagree. withDocIds pins whole-file
+    // reads internally, so the assignment is a pure function of
+    // (file path rank, row position) regardless of session split settings.
+    val data = tmpDir("idstamp_data")
+    def writeFile(name: String, rows: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$data/$name"),
+        rows.map(r => s"""{"t": "$r"}""").mkString("\n").getBytes("UTF-8"))
+    // three files, deliberately written out of lexicographic order and with
+    // different sizes so size-ordered split planning would disagree with
+    // path-ranked id order
+    writeFile("c.json", (0 until 7).map(i => s"cc$i"))
+    writeFile("a.json", (0 until 50).map(i => s"aa$i " + ("x" * 200)))
+    writeFile("b.json", (0 until 3).map(i => s"bb$i"))
+    def stamp(): Seq[(Long, String)] =
+      Ingest.withDocIds(spark.read.json(data).select($"t"), "doc_id", 10L) {
+        (ids, parts) =>
+          // per-file ranges follow sorted path order with dense bases
+          assert(parts.map(p => (p.path.split('/').last, p.n_docs)) ==
+            Seq(("a.json", 50L), ("b.json", 3L), ("c.json", 7L)))
+          assert(parts.map(_.base) == Seq(10L, 60L, 63L))
+          ids.select($"doc_id", $"t").as[(Long, String)].collect().sortBy(_._1).toSeq
+      }
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.files.maxPartitionBytes")
+    val stamped =
+      try { conf.set("spark.sql.files.maxPartitionBytes", "1024"); stamp() }
+      finally conf.set("spark.sql.files.maxPartitionBytes", prev)
+    val stamped2 =
+      try { conf.set("spark.sql.files.maxPartitionBytes", "134217728"); stamp() }
+      finally conf.set("spark.sql.files.maxPartitionBytes", prev)
+    assert(stamped == stamped2)
+    // dense, file-ordered: first row of b.json right after the last of a.json
+    assert(stamped.map(_._1) == (10L until 70L))
+    assert(stamped.filter(_._2.startsWith("bb")).map(_._1) == Seq(60L, 61L, 62L))
+    // the split-pin is restored after the loan
+    assert(conf.get("spark.sql.files.maxPartitionBytes") == prev)
   }
 }
