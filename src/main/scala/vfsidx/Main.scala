@@ -293,10 +293,16 @@ object Main {
               s"--id=$idCol: no such column in $table (has: ${df.columns.mkString(", ")})")
           // --merge=true is the reference's MergeOnSearch: fold touched
           // columns' accumulated generations before consulting candidates
-          // (default TriConfig — the layout CLI `regist` builds with)
+          // (default TriConfig — the layout CLI `regist` builds with). The
+          // query path caps the fold window (maxFoldDocs): a search must
+          // never block behind compacting a giant tier — the reference
+          // bounds the same work by wall-clock (mergeDuration, default
+          // 1 min, /root/reference/config.go:5-9); an oversized window is
+          // simply left for an offline `compact`.
           vfsidx.query.QueryParser.queryIndexed(spark, df, idCol, root, expr,
             mergeOnSearch =
-              if (mergeOn) Some(vfsidx.build.TrigramIndex.TriConfig()) else None)
+              if (mergeOn) Some(vfsidx.build.TrigramIndex.TriConfig(
+                maxFoldDocs = 1L << 22)) else None)
         case None => vfsidx.query.QueryParser.query(df, expr)
       }
       if (output == "plain") {

@@ -103,8 +103,13 @@ object IndexBuild {
       maxGenerations: Int = 4,     // refresh compacts when the count exceeds this
                                    // (the reference's merge-on-accumulation policy,
                                    // /root/reference/search_cond.go:828-837)
-      tierFanout: Int = 4)         // max generations folded per tiered compaction
+      tierFanout: Int = 4,         // max generations folded per tiered compaction
                                    // (the size-tier growth factor)
+      maxFoldDocs: Long = Long.MaxValue) // tiered-fold work bound: skip any fold
+                                   // window wider than this many docs (finite on
+                                   // the merge-on-search path — the reference's
+                                   // mergeDuration deadline as a work bound;
+                                   // unbounded for refresh/stream compaction)
 
   object TableIO {
     def write(df: DataFrame, dir: String): Unit =
@@ -216,9 +221,19 @@ object IndexBuild {
       * — and the base generation is only re-shuffled once smaller tiers have
       * accumulated to its own magnitude (LSM size-tiering; the reference's
       * single merge-everything pass, /root/reference/column.go:418-604,
-      * replaced by bounded amortized work). None when no group has 2 gens. */
+      * replaced by bounded amortized work). None when no group has 2 gens.
+      *
+      * `maxDocs` bounds the WINDOW: growth stops before exceeding it, and if
+      * even the cheapest adjacent pair is larger, no window is returned —
+      * the work-bounded analogue of the reference's wall-clock
+      * `MergeDuration` deadline (/root/reference/config.go:5-9,
+      * /root/reference/column.go:157-163). Query-time merge-on-search passes
+      * a finite cap so a search is never blocked behind folding a giant
+      * tier; the refresh/stream policies keep it unbounded (skipping folds
+      * there would let the generation count grow without limit). */
     def pickTieredWindow(groups: Seq[Seq[(Int, Int)]], size: ((Int, Int)) => Long,
-                         fanout: Int): Option[Seq[(Int, Int)]] = {
+                         fanout: Int,
+                         maxDocs: Long = Long.MaxValue): Option[Seq[(Int, Int)]] = {
       val pairs = for (g <- groups if g.size >= 2; i <- 0 until g.size - 1)
         yield (g, i)
       if (pairs.isEmpty) return None
@@ -226,6 +241,7 @@ object IndexBuild {
       var lo = i0
       var hi = i0 + 1
       var total = size(grp(lo)) + size(grp(hi))
+      if (total > maxDocs) return None
       var grown = true
       while (grown && hi - lo + 1 < math.max(2, fanout)) {
         grown = false
@@ -233,7 +249,7 @@ object IndexBuild {
         val cap = math.max(2.0 * mean, 1.0)
         val lSz = if (lo > 0) size(grp(lo - 1)) else Long.MaxValue
         val rSz = if (hi < grp.size - 1) size(grp(hi + 1)) else Long.MaxValue
-        if (lSz <= cap || rSz <= cap) {
+        if ((lSz <= cap || rSz <= cap) && total + math.min(lSz, rSz) <= maxDocs) {
           if (lSz <= rSz) { lo -= 1; total += lSz } else { hi += 1; total += rSz }
           grown = true
         }
@@ -531,12 +547,24 @@ object IndexBuild {
       // magnitude fewer rows and ~5x fewer bytes than raw postings — and
       // `pre_shard` bounds every reducer group without needing df before
       // the shuffle (see TrigramIndex for the same design).
+      //
+      // The shuffle/sort KEY is xxhash64(term), a packed long, with the
+      // term string demoted to a tiebreak: the trigram build's identical
+      // machinery (long keys throughout) scales 0.91-0.94 where the
+      // string-keyed word sort sat at ~0.78 — Tungsten's 8-byte sort
+      // prefix resolves long keys outright, while common-prefix term
+      // families (needle_*) degenerate every string-prefix comparison
+      // into a full-record compare. Hash collisions are harmless: rows
+      // sort (hash, pre_shard, term, ...), so a colliding foreign term is
+      // adjacent but never pooled (the group predicate compares the term).
       val salt = cfg.saltThreshold
       val shardSize = cfg.shardSize
       val avgdl = stats.avgdl
       val segs = chunks
-        .repartition(cfg.numBuckets, $"term", $"pre_shard")
-        .sortWithinPartitions($"term", $"pre_shard", $"first_doc")
+        .withColumn("term_hash", xxhash64($"term"))
+        .repartition(cfg.numBuckets, $"term_hash", $"pre_shard")
+        .sortWithinPartitions($"term_hash", $"pre_shard", $"term", $"first_doc")
+        .select($"term", $"pre_shard", $"first_doc", $"last_doc", $"count", $"tf_sum", $"bytes")
         .as[(String, Long, Long, Long, Int, Long, Array[Byte])]
         .mapPartitions(it => mergeChunks(it, salt, shardSize, avgdl))
       TableIO.write(segs.toDF(), segDir)
@@ -805,7 +833,8 @@ object IndexBuild {
     if (gens.size <= cfg.maxGenerations) false
     else {
       val sizes = genSizes(spark, dir, gens)
-      GenListing.pickTieredWindow(GenListing.contiguousGroups(gens), sizes, cfg.tierFanout) match {
+      GenListing.pickTieredWindow(GenListing.contiguousGroups(gens), sizes,
+        cfg.tierFanout, cfg.maxFoldDocs) match {
         case Some(win) =>
           fold(spark, dir, win, cfg)
           // reclaim=false is for callers serving CONCURRENT readers (the

@@ -186,7 +186,8 @@ object NumericIndex {
     * [[IndexBuild.compactTiered]]). */
   def compactTiered(spark: SparkSession, root: String, column: String,
                     maxGenerations: Int = 4, tierFanout: Int = 4,
-                    numBuckets: Int = 32, reclaim: Boolean = true): Boolean = {
+                    numBuckets: Int = 32, reclaim: Boolean = true,
+                    maxFoldDocs: Long = Long.MaxValue): Boolean = {
     import spark.implicits._
     val gens = generations(spark, root, column)
     if (gens.size <= maxGenerations) false
@@ -195,7 +196,8 @@ object NumericIndex {
         g -> spark.read.parquet(statsGenDir(root, column, l, h))
           .select($"n_rows").as[Long].head()
       }.toMap
-      GenListing.pickTieredWindow(GenListing.contiguousGroups(gens), sizes, tierFanout) match {
+      GenListing.pickTieredWindow(GenListing.contiguousGroups(gens), sizes,
+        tierFanout, maxFoldDocs) match {
         case Some(win) =>
           fold(spark, root, column, win, numBuckets)
           if (reclaim) vacuum(spark, root, column)

@@ -87,7 +87,8 @@ object TrigramIndex {
       saltThreshold: Long = 5000,
       shardSize: Long = 4096,
       maxGenerations: Int = 4,
-      tierFanout: Int = 4)
+      tierFanout: Int = 4,
+      maxFoldDocs: Long = Long.MaxValue) // see IndexBuild.BuildConfig.maxFoldDocs
 
   private def genTables(dir: String)(l: Int, h: Int): Seq[String] =
     Seq(segmentsGenDir(dir, l, h), dictGenDir(dir, l, h), statsGenDir(dir, l, h))
@@ -285,7 +286,8 @@ object TrigramIndex {
     else {
       val sizes = genSizes(spark, dir, gens)
       IndexBuild.GenListing.pickTieredWindow(
-        IndexBuild.GenListing.contiguousGroups(gens), sizes, cfg.tierFanout) match {
+        IndexBuild.GenListing.contiguousGroups(gens), sizes, cfg.tierFanout,
+        cfg.maxFoldDocs) match {
         case Some(win) =>
           fold(spark, dir, win, cfg)
           if (reclaim) vacuum(spark, dir)

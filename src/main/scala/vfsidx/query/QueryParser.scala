@@ -107,20 +107,36 @@ object QueryParser {
     toks.result()
   }
 
+  /** Hard bound on DNF ||-groups: `(a1||b1) && … && (an||bn)` distributes
+    * into 2^n conjunctive groups — unchecked, a pathological (or
+    * adversarial) expression OOMs the DRIVER during parsing, before any
+    * Spark job exists. Real query expressions stay in single digits; 64
+    * groups is far past anything a human writes but far below driver harm.
+    * Exceeding it is a loud error naming the bound (not a scan fallback:
+    * the blowup happens while PARSING, so there is no cheaper plan to fall
+    * back to — the user should restructure the query). */
+  val MaxDnfGroups = 64
+
   /** OR-of-ANDs in DISJUNCTIVE NORMAL FORM: `a && b || c` parses to
     * Seq(Seq(a, b), Seq(c)); parenthesized groups distribute —
     * `a && (b || c)` becomes Seq(Seq(a, b), Seq(a, c)) — so the indexed
     * dispatch's per-group candidate machinery applies unchanged. Both `||`
     * and parentheses are documented extensions over the reference grammar
-    * (pure conjunctions only, /root/reference/expr/expr.peg:8-32); query
-    * expressions are tiny, so the DNF blowup is bounded in practice. */
+    * (pure conjunctions only, /root/reference/expr/expr.peg:8-32); the
+    * distribution is capped at [[MaxDnfGroups]]. */
   def parseQuery(q: String): Seq[Seq[Expr]] = {
     val toks = lex(q)
     var pos = 0
     def peek: Option[Tok] = if (pos < toks.size) Some(toks(pos)) else None
+    def capped(n: Int): Unit = require(n <= MaxDnfGroups,
+      s"query expands to $n ||-groups in disjunctive normal form — over the " +
+        s"$MaxDnfGroups-group bound; restructure the query (fewer " +
+        s"(..||..) factors under &&): $q")
     def orExpr(): Seq[Seq[Expr]] = {
       var acc = andExpr()
-      while (peek.contains(OrOp)) { pos += 1; acc = acc ++ andExpr() }
+      while (peek.contains(OrOp)) {
+        pos += 1; acc = acc ++ andExpr(); capped(acc.size)
+      }
       acc
     }
     def andExpr(): Seq[Seq[Expr]] = {
@@ -128,6 +144,7 @@ object QueryParser {
       while (peek.contains(AndOp)) {
         pos += 1
         val r = unit()
+        capped(acc.size * r.size)
         acc = for (a <- acc; b <- r) yield a ++ b   // distribute && over ||
       }
       acc
@@ -555,7 +572,7 @@ object QueryParser {
             .foreach(c =>
               NumericIndex.compactTiered(spark, indexRoot, c,
                 maxGenerations = cfg.maxGenerations, tierFanout = cfg.tierFanout,
-                reclaim = false))
+                reclaim = false, maxFoldDocs = cfg.maxFoldDocs))
         }
         // force ONLY the surviving thunks: residuals are dropped wholesale
         // when some group's candidates are all common

@@ -291,6 +291,47 @@ class IncrementalSpec extends SparkTestBase {
     assert(bm.topKOr("shared", 500).count() == 320)
   }
 
+  test("maxFoldDocs caps the fold window: oversized cheapest window is skipped, query answers") {
+    // pickTieredWindow unit behavior: cap below the cheapest pair -> None;
+    // cap mid-growth -> growth stops at the bound instead of reaching fanout
+    import IndexBuild.GenListing
+    val gens = Seq((0, 0), (1, 1), (2, 2), (3, 3))
+    val sizes = Map((0, 0) -> 1000L, (1, 1) -> 10L, (2, 2) -> 10L, (3, 3) -> 10L)
+    val groups = GenListing.contiguousGroups(gens)
+    assert(GenListing.pickTieredWindow(groups, sizes, 4) ==
+      Some(Seq((1, 1), (2, 2), (3, 3))))
+    assert(GenListing.pickTieredWindow(groups, sizes, 4, maxDocs = 25L) ==
+      Some(Seq((1, 1), (2, 2))))
+    assert(GenListing.pickTieredWindow(groups, sizes, 4, maxDocs = 15L) == None)
+
+    // integration: a merge-on-search fold with a too-small cap leaves the
+    // generation count unchanged and the query still answers exactly
+    val dir = tmpDir("foldcap_idx")
+    val tiny = cfg.copy(numBatches = 1, maxGenerations = 1, tierFanout = 4)
+    val docs = Synth.corpus(spark, 90, partitions = 2).cache()
+    IndexBuild.build(spark, docs.filter($"doc_id" < 30).as[vfsidx.corpus.SourceFile],
+      dir, tiny)
+    for (b <- 1 to 2)
+      IndexBuild.ingestBatch(spark,
+        docs.filter($"doc_id" >= b * 30 && $"doc_id" < (b + 1) * 30)
+          .as[vfsidx.corpus.SourceFile], dir, b, tiny)
+    assert(IndexBuild.generations(spark, dir).size == 3)
+    // capped below the cheapest pair (30+30 docs): no fold happens
+    assert(!IndexBuild.compactTiered(spark, dir, tiny.copy(maxFoldDocs = 59L),
+      reclaim = false))
+    assert(IndexBuild.generations(spark, dir).size == 3)
+    // a Bm25Index with capped merge-on-search still answers over 3 gens
+    val bm = new Bm25Index(spark, dir,
+      mergeOnSearch = Some(tiny.copy(maxFoldDocs = 59L)))
+    assert(bm.topKAnd("needle_42 the", 5).count() == 1)
+    assert(IndexBuild.generations(spark, dir).size == 3)
+    // raising the cap folds (the pair fits) — same query, fewer generations
+    assert(IndexBuild.compactTiered(spark, dir, tiny.copy(maxFoldDocs = 60L),
+      reclaim = false))
+    assert(IndexBuild.generations(spark, dir).size == 2)
+    assert(new Bm25Index(spark, dir).topKAnd("needle_42 the", 5).count() == 1)
+  }
+
   test("stale or truncated refresh intent is cleared, not wedging refreshes") {
     val data = tmpDir("stale_intent_data")
     val idx = tmpDir("stale_intent_idx")

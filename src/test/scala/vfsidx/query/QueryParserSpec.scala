@@ -82,6 +82,21 @@ class QueryParserSpec extends SparkTestBase {
     intercept[IllegalArgumentException](parseQuery("id > 1) && id < 5"))
   }
 
+  test("pathological DNF blowup is a loud bound error, not a driver OOM") {
+    // (a||b) && (a||b) && ... doubles the group count per factor: 2^n.
+    // 6 factors = 64 groups = exactly the bound; 7 = 128 must refuse.
+    def nested(n: Int): String =
+      Seq.fill(n)("(id == 1 || id == 2)").mkString(" && ")
+    assert(QueryParser.parseQuery(nested(6)).size == 64)
+    val e = intercept[IllegalArgumentException](QueryParser.parseQuery(nested(7)))
+    assert(e.getMessage.contains("||-groups"))
+    // the refusal happens during PARSING — group count never materializes
+    // past the first over-bound intermediate (128 here), so even a 30-factor
+    // (2^30 groups) expression fails instantly instead of allocating
+    val e2 = intercept[IllegalArgumentException](QueryParser.parseQuery(nested(30)))
+    assert(e2.getMessage.contains("restructure"))
+  }
+
   test("top-level || is an OR of conjunct groups (&& binds tighter)") {
     val r = query(df, """title.search("鬼滅の") && id == 132763 || id < 10000""")
       .select($"id").as[Long].collect().sorted
