@@ -255,8 +255,34 @@ object Ingest {
                  cfg: vfsidx.build.IndexBuild.BuildConfig =
                    vfsidx.build.IndexBuild.BuildConfig(numBatches = 1, numBuckets = 8),
                  maxFilesPerTrigger: Int = 1,
-                 schemaHint: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
+                 schemaHint: Option[org.apache.spark.sql.types.StructType] = None): Unit =
+    stream(spark, indexDir, dataDir, contentCol, checkpointDir, "json", cfg,
+      maxFilesPerTrigger, schemaHint)
+
+  /** CSV twin of [[streamJson]] — the reference treats the two formats
+    * symmetrically everywhere (/root/reference/indexer.go:192-248); the
+    * epoch/slot protocol is format-agnostic so this is just the csv
+    * [[ContentDecoder]] plugged into [[stream]]. */
+  def streamCsv(spark: SparkSession, indexDir: String, dataDir: String,
+                contentCol: String, checkpointDir: String,
+                cfg: vfsidx.build.IndexBuild.BuildConfig =
+                  vfsidx.build.IndexBuild.BuildConfig(numBatches = 1, numBuckets = 8),
+                maxFilesPerTrigger: Int = 1,
+                schemaHint: Option[org.apache.spark.sql.types.StructType] = None): Unit =
+    stream(spark, indexDir, dataDir, contentCol, checkpointDir, "csv", cfg,
+      maxFilesPerTrigger, schemaHint)
+
+  /** Format-generic continuous index maintenance: any registered
+    * [[ContentDecoder]] format streams through the same epoch/slot
+    * protocol. See [[streamJson]] for the full mechanics. */
+  def stream(spark: SparkSession, indexDir: String, dataDir: String,
+             contentCol: String, checkpointDir: String, format: String,
+             cfg: vfsidx.build.IndexBuild.BuildConfig =
+               vfsidx.build.IndexBuild.BuildConfig(numBatches = 1, numBuckets = 8),
+             maxFilesPerTrigger: Int = 1,
+             schemaHint: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
     import vfsidx.build.IndexBuild
+    val decoder = ContentDecoder.forFormat(format)
     // Schema: caller-supplied, else the one persisted by a previous start,
     // else ONE batch inference — whose result is persisted under the
     // checkpoint so restarts never re-scan the (ever-growing) ingest
@@ -271,10 +297,11 @@ object Ingest {
         org.apache.spark.sql.types.DataType.fromJson(json)
           .asInstanceOf[org.apache.spark.sql.types.StructType]
       } else {
-        val inferred = spark.read.option("multiLine", "false").json(dataDir).schema
+        val inferred = decoder.inferSchema(spark, dataDir)
         require(inferred.nonEmpty,
-          s"cannot infer a schema from $dataDir (empty or no valid JSON yet); " +
-            "pass schemaHint or start the stream after the first file lands")
+          s"cannot infer a $format schema from $dataDir (empty or no valid " +
+            "data yet); pass schemaHint or start the stream after the first " +
+            "file lands")
         ckFs.mkdirs(new org.apache.hadoop.fs.Path(checkpointDir))
         val tmp = new org.apache.hadoop.fs.Path(checkpointDir, ".graft_schema.json.tmp")
         val out = ckFs.create(tmp, true)
@@ -357,11 +384,8 @@ object Ingest {
         (slot, colSlots, Some(base))
       }
     }
-    val stream = spark.readStream.schema(schema)
-      .option("multiLine", "false")
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .json(dataDir)
-    val q = stream.writeStream
+    val streamDf = decoder.readStream(spark, schema, dataDir, maxFilesPerTrigger)
+    val q = streamDf.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (df: DataFrame, epochId: Long) =>
@@ -492,16 +516,16 @@ object Ingest {
       }
   }
 
-  private def refresh(spark: SparkSession, indexDir: String, dataDir: String,
-                      contentCol: String, format: String,
-                      cfg: vfsidx.build.IndexBuild.BuildConfig): (Int, Long) = {
+  /** Format-generic directory refresh: any registered [[ContentDecoder]]
+    * format flows through the same catalog/WAL/slot machinery (see
+    * [[refreshJson]] for the contract). */
+  def refresh(spark: SparkSession, indexDir: String, dataDir: String,
+              contentCol: String, format: String,
+              cfg: vfsidx.build.IndexBuild.BuildConfig): (Int, Long) = {
     import spark.implicits._
     import vfsidx.build.IndexBuild
-    val exts = format match {
-      case "json" => Seq(".json", ".jsonl", ".ndjson", ".json.lz4")
-      case "csv"  => Seq(".csv", ".tsv", ".csv.lz4")
-      case other  => throw new IllegalArgumentException(s"unsupported refresh format: $other")
-    }
+    val decoder = ContentDecoder.forFormat(format)
+    val exts = decoder.extensions
     val hconf = spark.sparkContext.hadoopConfiguration
     val dataPath = new org.apache.hadoop.fs.Path(dataDir)
     val fs = dataPath.getFileSystem(hconf)
@@ -578,10 +602,7 @@ object Ingest {
       * record it in the catalog; idempotent given the same arguments. */
     def ingestFiles(slot: Int, base: Long, colSlots: Map[String, Int],
                     fls: Seq[String], initial: Boolean): Long = {
-      val raw = format match {
-        case "json" => spark.read.option("multiLine", "false").json(fls.toIndexedSeq: _*)
-        case _      => spark.read.option("header", "true").csv(fls.toIndexedSeq: _*)
-      }
+      val raw = decoder.read(spark, fls)
       val needed = (contentCol +: (triCols ++ numCols)).distinct
       val missing = needed.filterNot(raw.columns.contains)
       require(missing.isEmpty,

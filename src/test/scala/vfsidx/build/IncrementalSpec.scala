@@ -213,6 +213,79 @@ class IncrementalSpec extends SparkTestBase {
     assert(new Bm25Index(spark, idx).topKOr("streamed", 10).count() == 5)
   }
 
+  test("STREAMING CSV ingest mirrors JSON (streamCsv), including crash replay") {
+    val data = tmpDir("stream_csv")
+    val idx = tmpDir("stream_csv_idx")
+    val ckpt = tmpDir("stream_csv_ckpt")
+    def writeFile(name: String, words: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$data/$name"),
+        ("content" +: words.map(w => s"$w csvstreamed corpus")).mkString("\n")
+          .getBytes("UTF-8"))
+    writeFile("c0.csv", Seq("cw0a", "cw0b"))
+    writeFile("c1.csv", Seq("cw1a"))
+    Ingest.streamCsv(spark, idx, data, "content", ckpt, cfg.copy(numBatches = 1))
+    assert(IndexBuild.generations(spark, idx).size == 2)
+    val bm1 = new Bm25Index(spark, idx)
+    assert(bm1.topKOr("cw0a", 5).count() == 1)
+    assert(bm1.topKOr("csvstreamed", 10).count() == 3)
+    // crash replay: drop the last commit-log entry (and its checksum
+    // sidecar) so the restart re-delivers the epoch — the recorded slot +
+    // _SUCCESS gates must skip it, never double-ingest
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    val last = commits.last
+    new java.io.File(last.getParent, s".${last.getName}.crc").delete()
+    assert(last.delete())
+    Ingest.streamCsv(spark, idx, data, "content", ckpt, cfg.copy(numBatches = 1))
+    val bm2 = new Bm25Index(spark, idx)
+    assert(bm2.topKOr("csvstreamed", 10).count() == 3)
+    val ids = spark.read.parquet(IndexBuild.docStatsDir(idx))
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == (0L until 3L))
+  }
+
+  test("a CUSTOM registered ContentDecoder refreshes through the same machinery") {
+    // the reference's extension point (per-extension Decoder registry,
+    // /root/reference/util.go:240-255): a new on-disk format is a
+    // registration, not an engine edit — here, plain text lines where the
+    // whole line is the content
+    object TextLines extends vfsidx.corpus.ContentDecoder {
+      val name = "textlines"
+      val extensions = Seq(".txt")
+      def read(s: org.apache.spark.sql.SparkSession, files: Seq[String]) =
+        s.read.text(files.toIndexedSeq: _*).withColumnRenamed("value", "content")
+      def inferSchema(s: org.apache.spark.sql.SparkSession, dir: String) =
+        new org.apache.spark.sql.types.StructType()
+          .add("content", org.apache.spark.sql.types.StringType)
+      def readStream(s: org.apache.spark.sql.SparkSession,
+                     schema: org.apache.spark.sql.types.StructType,
+                     dir: String, maxFilesPerTrigger: Int) =
+        s.readStream.schema(schema).option("maxFilesPerTrigger", maxFilesPerTrigger)
+          .text(dir).withColumnRenamed("value", "content")
+    }
+    vfsidx.corpus.ContentDecoder.register(TextLines)
+    val data = tmpDir("txt_data")
+    val idx = tmpDir("txt_idx")
+    def writeFile(name: String, words: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$data/$name"),
+        words.map(w => s"$w textline corpus").mkString("\n").getBytes("UTF-8"))
+    writeFile("t0.txt", Seq("tw0a", "tw0b"))
+    assert(Ingest.refresh(spark, idx, data, "content", "textlines",
+      cfg.copy(numBatches = 1)) == ((1, 2L)))
+    // second refresh ingests ONLY the new file — dirty detection is
+    // format-agnostic
+    writeFile("t1.txt", Seq("tw1a"))
+    assert(Ingest.refresh(spark, idx, data, "content", "textlines",
+      cfg.copy(numBatches = 1)) == ((1, 1L)))
+    val bm = new Bm25Index(spark, idx)
+    assert(bm.topKOr("tw1a", 5).count() == 1)
+    assert(bm.topKOr("textline", 10).count() == 3)
+    // an unregistered format is a loud error naming what IS registered
+    val e = intercept[IllegalArgumentException](
+      Ingest.refresh(spark, idx, data, "content", "protobuf", cfg))
+    assert(e.getMessage.contains("textlines"))
+  }
+
   test("REPLAYED stream epoch is never buried: folds refuse to span a reserved slot") {
     // A streaming epoch reserves its runs slot (mkdir) BEFORE recording it
     // in the checkpoint; if it crashes there, later compactions must not
