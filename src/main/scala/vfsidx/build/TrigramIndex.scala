@@ -1,6 +1,6 @@
 package vfsidx.build
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import vfsidx.codec.VarByte
 import vfsidx.query.Bm25Index
@@ -665,20 +665,17 @@ object TrigramIndex {
     prefiltered.filter(col(strCol).contains(needle))
   }
 
-  /** Trigram-overlap similarity — the reference's `Nears` scoring surface
-    * (/root/reference/search_cond.go:297-381): rank docs by how many of the
-    * probe string's distinct trigram keys they contain. Unlike the
-    * reference's `filterByAvg` stop-gram pruning (lossy, drops high-df
-    * grams), this scores every key exactly; the top-k is a bounded
-    * per-partition heap (TakeOrderedAndProject). */
-  def nears(spark: SparkSession, dir: String, needle: String, k: Int): DataFrame = {
-    import spark.implicits._
-    val keys = Tokenizer.triKeys(needle).distinct
-    if (keys.isEmpty)
-      return spark.emptyDataset[(Long, Long)].toDF("doc_id", "overlap")
-    val segs = readSegments(spark, dir).as[TriSegmentRow]
-      .filter($"key".isin(keys: _*))
-    segs.flatMap { s =>
+  /** Candidate-set cap for the pruned `nears` path: above this many
+    * candidates the broadcast set stops paying for itself — fall back to
+    * the full decode (same exact result, the round-3 implementation). */
+  private val NearsCandidateCap = 200000
+
+  /** Decode EVERY posting of the given keys into (doc, matched-key count)
+    * partial overlaps. */
+  private def nearsPartials(segs: Dataset[TriSegmentRow],
+                            keySet: Seq[Long]): DataFrame = {
+    import segs.sparkSession.implicits._
+    segs.filter($"key".isin(keySet: _*)).flatMap { s =>
       val out = Array.newBuilder[Long]
       var bi = 0
       while (bi < s.block_off.length) {
@@ -692,7 +689,98 @@ object TrigramIndex {
     }.toDF("doc_id")
       .groupBy($"doc_id")                      // (key, doc) pairs are unique
       .agg(count(lit(1)).as("overlap"))
-      .orderBy($"overlap".desc, $"doc_id".asc)
-      .limit(k)
+  }
+
+  /** Exact top-k trigram-overlap similarity (the reference's `Nears`,
+    * /root/reference/search_cond.go:297-381 — which prunes LOSSILY via
+    * `filterByAvg`; ours stays exact). Block-pruned MaxScore-style plan
+    * (round-4 verdict ask #6):
+    *
+    *   1. rank the needle's keys by df (segment metadata only — the
+    *      `count` column, no postings decode);
+    *   2. decode the RAREST `m` keys fully; θ = the k-th best partial
+    *      overlap. Grow `m` until the remaining common keys number
+    *      ≤ θ−1 — by pigeonhole, any doc with final overlap ≥ θ must then
+    *      appear in some rare list, so the rare-side docs are a COMPLETE
+    *      candidate set;
+    *   3. candidates that can still reach θ (partial ≥ θ−|common|) are
+    *      broadcast sorted; each common key's segment row decodes ONLY the
+    *      blocks whose [block_first, block_last] range contains a
+    *      candidate — a high-df key contributes O(touched blocks), not
+    *      O(df) — and counts hits inside the candidate set;
+    *   4. total = partial + hits; top-k by (overlap desc, doc asc).
+    *
+    * Every skip is justified by an exact bound, so the result is
+    * row-identical to the full decode; an over-[[NearsCandidateCap]]
+    * candidate set falls back to it outright. */
+  def nears(spark: SparkSession, dir: String, needle: String, k: Int): DataFrame = {
+    import spark.implicits._
+    val keys = Tokenizer.triKeys(needle).distinct
+    if (keys.isEmpty)
+      return spark.emptyDataset[(Long, Long)].toDF("doc_id", "overlap")
+    val segs = readSegments(spark, dir).as[TriSegmentRow]
+      .filter($"key".isin(keys: _*))
+    // df per present key off segment METADATA (key + count columns pruned
+    // at the parquet scan; postings bytes never read here)
+    val dfs = segs.groupBy($"key").agg(sum($"count").as("df"))
+      .as[(Long, Long)].collect().toMap
+    val ranked = keys.filter(dfs.contains).sortBy(dfs)
+    val kTotal = ranked.size
+    if (kTotal == 0)
+      return spark.emptyDataset[(Long, Long)].toDF("doc_id", "overlap")
+    def topK(df: DataFrame): DataFrame =
+      df.orderBy($"overlap".desc, $"doc_id".asc).limit(k)
+
+    // grow the rare prefix until the common suffix fits under θ-1
+    var m = math.max(1, (kTotal + 1) / 2)
+    var partials: DataFrame = null
+    var theta = 0L
+    var converged = false
+    while (!converged) {
+      partials = nearsPartials(segs, ranked.take(m))
+      val kth = partials.orderBy($"overlap".desc).limit(k)
+        .agg(min($"overlap"), count(lit(1))).as[(Option[Long], Long)].head()
+      theta = if (kth._2 < k) 0L else kth._1.getOrElse(0L)
+      if (kTotal - m <= math.max(theta - 1, 0L) && theta > 0L) converged = true
+      else if (m == kTotal) converged = true
+      else m = math.max(m + 1, kTotal - math.max(theta - 1, 0L)).toInt.min(kTotal)
+    }
+    if (m == kTotal) return topK(partials)
+
+    val common = ranked.drop(m)
+    val bound = theta - common.size              // ≥ 1 by the loop condition
+    val cRows = partials.filter($"overlap" >= bound)
+      .limit(NearsCandidateCap + 1)
+      .as[(Long, Long)].collect()
+    if (cRows.length > NearsCandidateCap)
+      return topK(nearsPartials(segs, ranked))   // fallback: full decode
+    val cIds = cRows.map(_._1).sorted
+    val bc = spark.sparkContext.broadcast(cIds)
+    val hits = segs.filter($"key".isin(common: _*)).flatMap { s =>
+      val cand = bc.value
+      val out = Array.newBuilder[Long]
+      var bi = 0
+      while (bi < s.block_off.length) {
+        // first candidate ≥ block_first; decode only if it is ≤ block_last
+        var p = java.util.Arrays.binarySearch(cand, s.block_first(bi))
+        if (p < 0) p = -p - 1
+        if (p < cand.length && cand(p) <= s.block_last(bi)) {
+          val ids = VarByte.decodeIdsBlock(
+            s.postings, s.block_off(bi), VarByte.blockCount(s.count, bi))
+          var i = 0
+          while (i < ids.length) {
+            if (java.util.Arrays.binarySearch(cand, ids(i)) >= 0) out += ids(i)
+            i += 1
+          }
+        }
+        bi += 1
+      }
+      out.result()
+    }.toDF("doc_id").groupBy($"doc_id").agg(count(lit(1)).as("hits"))
+    val totals = cRows.toSeq.toDF("doc_id", "overlap")
+      .join(hits, Seq("doc_id"), "left")
+      .select($"doc_id",
+        ($"overlap" + coalesce($"hits", lit(0L))).as("overlap"))
+    topK(totals)
   }
 }

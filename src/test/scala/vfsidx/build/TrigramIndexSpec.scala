@@ -94,17 +94,53 @@ class TrigramIndexSpec extends SparkTestBase {
       "expected at least one head key split into doc-range shards")
   }
 
+  private def bruteNears(needle: String, k: Int): Seq[(Long, Long)] = {
+    val nd = Tokenizer.triKeys(needle).distinct.toSet
+    rows.map { case (id, text, _) =>
+      (id, Tokenizer.distinctTriKeys(text).count(nd.contains).toLong)
+    }.filter(_._2 > 0)
+      .sortBy { case (id, ov) => (-ov, id) }
+      .take(k)
+  }
+
   test("nears overlap ranking matches brute force") {
     val needle = "merge the data"
     val got = TrigramIndex.nears(spark, triDir, needle, 10)
       .as[(Long, Long)].collect().toSeq
-    val nd = Tokenizer.triKeys(needle).distinct.toSet
-    val expected = rows.map { case (id, text, _) =>
-      (id, Tokenizer.distinctTriKeys(text).count(nd.contains).toLong)
-    }.filter(_._2 > 0)
-      .sortBy { case (id, ov) => (-ov, id) }
-      .take(10)
-    assert(got == expected)
+    assert(got == bruteNears(needle, 10))
+  }
+
+  test("block-pruned nears matches brute force across needles and k") {
+    // the pruned plan has three regimes — rare-prefix convergence with a
+    // candidate+hits pass, m==kTotal full decode (θ never clears the
+    // common-suffix size), and tiny-k tight θ — sweep across them
+    val cases = Seq(
+      ("merge the data", 1), ("merge the data", 3), ("merge the data", 50),
+      ("index merge search", 25), ("the data query record", 5),
+      ("鬼滅の刃", 5),            // planted once: fewer than k matches
+      ("batch", 100),             // k larger than the match set
+      ("return if val int", 10),
+      ("the", 10),                // single trigram, high df
+      ("zzz_nowhere", 10))        // keys absent from the index
+    for ((needle, k) <- cases) {
+      val got = TrigramIndex.nears(spark, triDir, needle, k)
+        .as[(Long, Long)].collect().toSeq
+      assert(got == bruteNears(needle, k), s"needle '$needle' k=$k")
+    }
+  }
+
+  test("block-pruned nears matches brute force on random needles (property)") {
+    val rng = new scala.util.Random(4242)
+    val words = Vector("index", "merge", "search", "batch", "the", "data",
+      "query", "record", "val", "int", "return", "if", "日本の", "戦い")
+    for (i <- 0 until 12) {
+      val n = 1 + rng.nextInt(5)
+      val needle = Seq.fill(n)(words(rng.nextInt(words.size))).mkString(" ")
+      val k = 1 + rng.nextInt(30)
+      val got = TrigramIndex.nears(spark, triDir, needle, k)
+        .as[(Long, Long)].collect().toSeq
+      assert(got == bruteNears(needle, k), s"rep $i needle '$needle' k=$k")
+    }
   }
 
   test("queryIndexed == brute-force query on mixed expressions") {
