@@ -123,7 +123,7 @@ object Bench {
     // indexed path with ZERO table-scan jobs — the O(metadata) staleness
     // guard's amortized cost, tracked per round (round-4 verdict ask #10)
     for (fn <- SparkEntry.queries.get("ft_query_lang")) {
-      try results("ft_query_lang_warm") = time { fn(spark, sfDir).collect() }
+      try results("ft_query_lang_warm") = best { fn(spark, sfDir).collect() }
       catch { case _: Throwable => results("ft_query_lang_warm") = -1.0 }
     }
 

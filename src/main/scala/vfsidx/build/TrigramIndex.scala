@@ -670,6 +670,14 @@ object TrigramIndex {
     * the full decode (same exact result, the round-3 implementation). */
   private val NearsCandidateCap = 200000
 
+  /** Below this many total postings across the needle's keys, the
+    * single-job full decode beats the pruned plan's extra driver
+    * round-trips (df probe + partials job + candidate collect + hits
+    * join) — a pure cost gate, identical results either way. Gated twice:
+    * first on the cached `kTotal * n_rows` upper bound (O(metadata), no
+    * job), then on the actual Σdf once the probe has run. */
+  private val NearsPrunedFloor = 4L << 20
+
   /** Decode EVERY posting of the given keys into (doc, matched-key count)
     * partial overlaps. */
   private def nearsPartials(segs: Dataset[TriSegmentRow],
@@ -713,13 +721,22 @@ object TrigramIndex {
     * Every skip is justified by an exact bound, so the result is
     * row-identical to the full decode; an over-[[NearsCandidateCap]]
     * candidate set falls back to it outright. */
-  def nears(spark: SparkSession, dir: String, needle: String, k: Int): DataFrame = {
+  def nears(spark: SparkSession, dir: String, needle: String, k: Int,
+            prunedFloor: Long = NearsPrunedFloor,
+            candidateCap: Int = NearsCandidateCap): DataFrame = {
     import spark.implicits._
     val keys = Tokenizer.triKeys(needle).distinct
     if (keys.isEmpty)
       return spark.emptyDataset[(Long, Long)].toDF("doc_id", "overlap")
     val segs = readSegments(spark, dir).as[TriSegmentRow]
       .filter($"key".isin(keys: _*))
+    def topK(df: DataFrame): DataFrame =
+      df.orderBy($"overlap".desc, $"doc_id".asc).limit(k)
+    // zero-job gate: Σdf ≤ |keys| * n_docs, and n_docs comes from the
+    // token-validated stats cache — a small index decodes in one job
+    val nDocs = statsMerged(spark, dir).map(_.n_rows).getOrElse(Long.MaxValue)
+    if (nDocs != Long.MaxValue && keys.size.toLong * nDocs <= prunedFloor)
+      return topK(nearsPartials(segs, keys))
     // df per present key off segment METADATA (key + count columns pruned
     // at the parquet scan; postings bytes never read here)
     val dfs = segs.groupBy($"key").agg(sum($"count").as("df"))
@@ -728,8 +745,8 @@ object TrigramIndex {
     val kTotal = ranked.size
     if (kTotal == 0)
       return spark.emptyDataset[(Long, Long)].toDF("doc_id", "overlap")
-    def topK(df: DataFrame): DataFrame =
-      df.orderBy($"overlap".desc, $"doc_id".asc).limit(k)
+    if (kTotal == 1 || dfs.valuesIterator.sum <= prunedFloor)
+      return topK(nearsPartials(segs, ranked))
 
     // grow the rare prefix until the common suffix fits under θ-1
     var m = math.max(1, (kTotal + 1) / 2)
@@ -750,9 +767,9 @@ object TrigramIndex {
     val common = ranked.drop(m)
     val bound = theta - common.size              // ≥ 1 by the loop condition
     val cRows = partials.filter($"overlap" >= bound)
-      .limit(NearsCandidateCap + 1)
+      .limit(candidateCap + 1)
       .as[(Long, Long)].collect()
-    if (cRows.length > NearsCandidateCap)
+    if (cRows.length > candidateCap)
       return topK(nearsPartials(segs, ranked))   // fallback: full decode
     val cIds = cRows.map(_._1).sorted
     val bc = spark.sparkContext.broadcast(cIds)

@@ -103,7 +103,7 @@ class TrigramIndexSpec extends SparkTestBase {
       .take(k)
   }
 
-  test("nears overlap ranking matches brute force") {
+  test("nears overlap ranking matches brute force (default cost gate: full decode)") {
     val needle = "merge the data"
     val got = TrigramIndex.nears(spark, triDir, needle, 10)
       .as[(Long, Long)].collect().toSeq
@@ -111,9 +111,10 @@ class TrigramIndexSpec extends SparkTestBase {
   }
 
   test("block-pruned nears matches brute force across needles and k") {
-    // the pruned plan has three regimes — rare-prefix convergence with a
-    // candidate+hits pass, m==kTotal full decode (θ never clears the
-    // common-suffix size), and tiny-k tight θ — sweep across them
+    // prunedFloor=0 forces the pruned plan on this tiny index; the sweep
+    // covers its regimes — rare-prefix convergence with a candidate+hits
+    // pass, m==kTotal full decode (θ never clears the common-suffix
+    // size), tiny-k tight θ, and the single-key short-circuit
     val cases = Seq(
       ("merge the data", 1), ("merge the data", 3), ("merge the data", 50),
       ("index merge search", 25), ("the data query record", 5),
@@ -123,7 +124,7 @@ class TrigramIndexSpec extends SparkTestBase {
       ("the", 10),                // single trigram, high df
       ("zzz_nowhere", 10))        // keys absent from the index
     for ((needle, k) <- cases) {
-      val got = TrigramIndex.nears(spark, triDir, needle, k)
+      val got = TrigramIndex.nears(spark, triDir, needle, k, prunedFloor = 0L)
         .as[(Long, Long)].collect().toSeq
       assert(got == bruteNears(needle, k), s"needle '$needle' k=$k")
     }
@@ -137,10 +138,20 @@ class TrigramIndexSpec extends SparkTestBase {
       val n = 1 + rng.nextInt(5)
       val needle = Seq.fill(n)(words(rng.nextInt(words.size))).mkString(" ")
       val k = 1 + rng.nextInt(30)
-      val got = TrigramIndex.nears(spark, triDir, needle, k)
+      val got = TrigramIndex.nears(spark, triDir, needle, k, prunedFloor = 0L)
         .as[(Long, Long)].collect().toSeq
       assert(got == bruteNears(needle, k), s"rep $i needle '$needle' k=$k")
     }
+  }
+
+  test("nears candidate-cap fallback stays exact") {
+    // candidateCap=1 trips the over-cap fallback (full decode) on any
+    // needle whose candidate set exceeds one doc
+    val needle = "merge the data"
+    val got = TrigramIndex.nears(spark, triDir, needle, 10,
+      prunedFloor = 0L, candidateCap = 1)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == bruteNears(needle, 10))
   }
 
   test("queryIndexed == brute-force query on mixed expressions") {
