@@ -217,6 +217,23 @@ object FullText {
       .orderBy($"doc_id")
   }
 
+  /** Regex search answered from the trigram index (round-5 extension; the
+    * public Cox trigram-prefilter technique — see
+    * [[vfsidx.query.RegexTrigram]]): the pattern compiles to literal
+    * OR-clauses, each clause resolves to candidates through the persisted
+    * index, clauses intersect, and only candidate rows see the regex
+    * engine. The oracle brute-forces DuckDB `regexp_matches` over the
+    * table; both engines are RE2-compatible on this pattern subset. */
+  val RegexPattern = "(data|the) (batch|quer[a-z]+)"
+  def regexSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = indexRoot(s, dir)
+    vfsidx.query.RegexTrigram.searchRegex(s, QueryParser.triDir(root, "text"),
+        docs(s, dir), "doc_id", "text", RegexPattern)
+      .select($"doc_id")
+      .orderBy($"doc_id")
+  }
+
   /** Cross-column AND (J2: string predicate && numeric range,
     * /root/reference/search_cond.go:146-168). */
   def crossColumn(s: SparkSession, dir: String): DataFrame = {
@@ -241,6 +258,7 @@ object FullText {
     "ft_query_strrange" -> (queryStrRange _),
     "ft_query_paren" -> (queryParen _),
     "ft_count_and" -> (countFirstLastAnd _),
+    "ft_regex_search" -> (regexSearch _),
     "ft_cross_column" -> (crossColumn _))
 
   private val bm25OracleFmt =
@@ -316,6 +334,9 @@ object FullText {
          |FROM documents
          |WHERE list_contains(string_split(text, ' '), 'merge')
          |  AND list_contains(string_split(text, ' '), 'query')""".stripMargin,
+    "ft_regex_search" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE regexp_matches(text, '$RegexPattern') ORDER BY doc_id""".stripMargin,
     "ft_cross_column" ->
       s"""SELECT doc_id, n_chars FROM documents
          |WHERE list_contains(string_split(text, ' '), '$CountTerm')

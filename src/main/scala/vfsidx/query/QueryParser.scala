@@ -38,8 +38,14 @@ object QueryParser {
   sealed trait Expr
   final case class Search(col: String, s: String) extends Expr
   final case class Cmp(col: String, op: String, value: Either[Long, String]) extends Expr
+  /** `col.regex("pattern")` — grammar extension over the reference (whose
+    * PEG has only `.search`, /root/reference/expr/expr.peg:8-32): unanchored
+    * regex match, answered through the trigram index when
+    * [[RegexTrigram.plan]] finds literal clauses, scan predicate otherwise. */
+  final case class Regex(col: String, pattern: String) extends Expr
 
   private val searchRe = """^\s*([A-Za-z_][A-Za-z0-9_]*)\.search\(\s*"((?:[^"\\]|\\.)*)"\s*\)\s*$""".r
+  private val regexRe = """^\s*([A-Za-z_][A-Za-z0-9_]*)\.regex\(\s*"((?:[^"\\]|\\.)*)"\s*\)\s*$""".r
   private val cmpRe = """^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(==|!=|<=|>=|<|>)\s*(?:"((?:[^"\\]|\\.)*)"|(-?\d+))\s*$""".r
 
   private def unescape(s: String): String =
@@ -47,6 +53,12 @@ object QueryParser {
 
   private def parseAtom(part: String): Expr = part match {
     case searchRe(col, s) => Search(col, unescape(s))
+    case regexRe(col, p) =>
+      val pat = unescape(p)
+      try java.util.regex.Pattern.compile(pat)
+      catch { case e: java.util.regex.PatternSyntaxException =>
+        throw new IllegalArgumentException(s"bad regex in query: ${e.getMessage}") }
+      Regex(col, pat)
     case cmpRe(col, op, str, num) =>
       Cmp(col, op, if (str != null) Right(unescape(str)) else Left(num.toLong))
     case other => throw new IllegalArgumentException(s"cannot parse query term: '$other'")
@@ -181,6 +193,7 @@ object QueryParser {
     case Search(col, s) =>
       if (Tokenizer.triKeys(s).isEmpty) lit(false)
       else column(col).contains(s)
+    case Regex(col, p) => column(col).rlike(p)
     case Cmp(col, op, Right(s)) => op match {
       case "==" =>
         if (Tokenizer.triKeys(s).isEmpty) lit(false) else column(col).contains(s)
@@ -429,16 +442,24 @@ object QueryParser {
     // corpus index, yet char-level `contains` CAN match — the scan
     // predicate alone keeps queryIndexed row-identical to query() (same
     // rule as TrigramIndex.searchExact's full-scan bypass)
+    def freshTri(c: String): Boolean =
+      memo.fresh(s"tri/$c", TrigramIndex.statsMerged(spark, triDir(indexRoot, c))
+        .map(st => (st.n_rows, st.max_doc_id)))
     def indexable(c: String, s: String): Boolean =
-      Tokenizer.triKeys(s).nonEmpty && TrigramIndex.wellFormedUtf16(s) &&
-        memo.fresh(s"tri/$c", TrigramIndex.statsMerged(spark, triDir(indexRoot, c))
-          .map(st => (st.n_rows, st.max_doc_id)))
+      Tokenizer.triKeys(s).nonEmpty && TrigramIndex.wellFormedUtf16(s) && freshTri(c)
     def candidates(c: String, s: String): (CandKey, () => DataFrame) =
       memo.candidate(CandKey("tri", c, s))(
         TrigramIndex.searchCandidates(spark, triDir(indexRoot, c), s))
     val searchSets: Seq[(CandKey, () => DataFrame)] = exprs.flatMap {
       case Search(c, s) if indexable(c, s) => Some(candidates(c, s))
       case Cmp(c, "==", Right(s)) if indexable(c, s) => Some(candidates(c, s))
+      // regex consults the same trigram index through its CNF literal plan
+      // (RegexTrigram soundness: candidates are a superset; the re-applied
+      // rlike predicate keeps the rows exact). plan()=None -> scan predicate.
+      case Regex(c, p) if freshTri(c) =>
+        RegexTrigram.plan(p).map(clauses =>
+          memo.candidate(CandKey("re", c, p))(
+            RegexTrigram.clauseCandidates(spark, triDir(indexRoot, c), clauses)))
       case _ => None
     }
     // Merge ALL numeric conjuncts on one column into a single index walk —

@@ -188,7 +188,13 @@ class TrigramIndexSpec extends SparkTestBase {
       // common numeric conjunct across groups
       """num == 44 && text.search("the batch") || num == 44 && text.search("merge")""",
       // partially-overlapping (NOT common to all three) stays per-group
-      """text.search("the batch") && num == 44 || text.search("merge") && num == 44 || num == 45""")
+      """text.search("the batch") && num == 44 || text.search("merge") && num == 44 || num == 45""",
+      // regex atoms: indexed via RegexTrigram CNF clauses when possible,
+      // scan predicate otherwise — rows identical either way
+      """text.regex("the (batch|merge)")""",
+      """text.regex("quer(y|ies)") && num < 80""",
+      """text.regex("[a-z]+") && num == 44""",      // opaque -> scan predicate
+      """text.regex("the .* merge") || num == 45""")
     for (e <- exprs) {
       val a = QueryParser.queryIndexed(spark, df, "doc_id", root, e)
         .orderBy($"doc_id").collect().toSeq

@@ -51,6 +51,18 @@ class QueryParserSpec extends SparkTestBase {
     intercept[IllegalArgumentException](parse("title ~~ 3"))
   }
 
+  test("regex atom parses, matches unanchored, and rejects bad patterns loudly") {
+    assert(parse("""title.regex("鬼滅|警視")""") == Seq(Regex("title", "鬼滅|警視")))
+    val r = query(df, """content.regex("日本の(漫画|警察)")""")
+      .select($"id").as[Long].collect().sorted
+    assert(r.toSeq == Seq(132763L, 3365460L))
+    // '|' inside the quoted pattern must not split the expression
+    val or = query(df, """content.regex("漫画|合戦") && id > 100""")
+      .select($"id").as[Long].collect().sorted
+    assert(or.toSeq == Seq(10435L, 132763L))
+    intercept[IllegalArgumentException](parse("""title.regex("(unclosed")"""))
+  }
+
   test("string ordering comparisons are lexicographic scan predicates") {
     // reference StringOp accepts <,<=,>,>= on strings
     // (/root/reference/search_cond.go:793-822) ordering by trigram KEY; we
