@@ -234,6 +234,20 @@ object FullText {
       .orderBy($"doc_id")
   }
 
+  /** Query-language `!` (negation) extension: the negated search never
+    * consults an index (a complement is O(table)); the positive conjunct's
+    * trigram candidates bound the rows and the negation rides the
+    * re-applied predicate (reference grammar has no NOT,
+    * /root/reference/expr/expr.peg:8-32). */
+  val QueryNotExpr = """text.search("merge") && !text.search("the batch") && n_chars < 700"""
+  def queryNot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = indexRoot(s, dir)
+    QueryParser.queryIndexed(s, docs(s, dir), "doc_id", root, QueryNotExpr)
+      .select($"doc_id", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
   /** Cross-column AND (J2: string predicate && numeric range,
     * /root/reference/search_cond.go:146-168). */
   def crossColumn(s: SparkSession, dir: String): DataFrame = {
@@ -259,6 +273,7 @@ object FullText {
     "ft_query_paren" -> (queryParen _),
     "ft_count_and" -> (countFirstLastAnd _),
     "ft_regex_search" -> (regexSearch _),
+    "ft_query_not" -> (queryNot _),
     "ft_cross_column" -> (crossColumn _))
 
   private val bm25OracleFmt =
@@ -337,6 +352,11 @@ object FullText {
     "ft_regex_search" ->
       s"""SELECT doc_id FROM documents
          |WHERE regexp_matches(text, '$RegexPattern') ORDER BY doc_id""".stripMargin,
+    "ft_query_not" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE contains(text, 'merge') AND NOT contains(text, 'the batch')
+        |  AND n_chars < 700
+        |ORDER BY doc_id""".stripMargin,
     "ft_cross_column" ->
       s"""SELECT doc_id, n_chars FROM documents
          |WHERE list_contains(string_split(text, ' '), '$CountTerm')

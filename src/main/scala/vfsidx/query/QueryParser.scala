@@ -43,6 +43,14 @@ object QueryParser {
     * regex match, answered through the trigram index when
     * [[RegexTrigram.plan]] finds literal clauses, scan predicate otherwise. */
   final case class Regex(col: String, pattern: String) extends Expr
+  /** `!expr` — negation (grammar extension; the reference PEG has no NOT,
+    * /root/reference/expr/expr.peg:8-32). Parse-time De Morgan pushes `!`
+    * down to atoms, so DNF groups hold only plain or once-negated atoms. A
+    * negated atom never contributes an index candidate set (a complement is
+    * O(table) rows — no index helps); it rides the re-applied group
+    * predicate like any other non-indexable conjunct, so positive conjuncts
+    * alongside it still bound the rows read. */
+  final case class Not(e: Expr) extends Expr
 
   private val searchRe = """^\s*([A-Za-z_][A-Za-z0-9_]*)\.search\(\s*"((?:[^"\\]|\\.)*)"\s*\)\s*$""".r
   private val regexRe = """^\s*([A-Za-z_][A-Za-z0-9_]*)\.regex\(\s*"((?:[^"\\]|\\.)*)"\s*\)\s*$""".r
@@ -76,6 +84,7 @@ object QueryParser {
   private case object RPar extends Tok
   private case object AndOp extends Tok
   private case object OrOp extends Tok
+  private case object NotOp extends Tok
   private final case class Atom(s: String) extends Tok
 
   private def lex(q: String): Seq[Tok] = {
@@ -85,6 +94,7 @@ object QueryParser {
     while (i < q.length) {
       val c = q.charAt(i)
       if (c.isWhitespace) i += 1
+      else if (expectExpr && c == '!') { toks += NotOp; i += 1 } // stays expectExpr
       else if (expectExpr && c == '(') { toks += LPar; i += 1 }
       else if (!expectExpr && c == ')') { toks += RPar; i += 1 }
       else if (!expectExpr && c == '&' && i + 1 < q.length && q.charAt(i + 1) == '&') {
@@ -161,7 +171,21 @@ object QueryParser {
       }
       acc
     }
+    def negAtom(e: Expr): Expr = e match { case Not(x) => x; case x => Not(x) }
+    // ¬(G1 ∨ … ∨ Gn) = ∧_i (∨_{a∈Gi} ¬a): distribute back to DNF by picking
+    // one negated atom per group; the product is bounded by the same
+    // MaxDnfGroups cap as `&&`-over-`||` distribution
+    def negate(dnf: Seq[Seq[Expr]]): Seq[Seq[Expr]] =
+      dnf.foldLeft(Seq(Seq.empty[Expr])) { (acc, g) =>
+        val negs = g.map(negAtom).distinct
+        val next = for (a <- acc; b <- negs) yield a :+ b
+        capped(next.size)
+        next
+      }
     def unit(): Seq[Seq[Expr]] = peek match {
+      case Some(NotOp) =>
+        pos += 1
+        negate(unit())
       case Some(LPar) =>
         pos += 1
         val r = orExpr()
@@ -194,6 +218,12 @@ object QueryParser {
       if (Tokenizer.triKeys(s).isEmpty) lit(false)
       else column(col).contains(s)
     case Regex(col, p) => column(col).rlike(p)
+    // SQL three-valued logic applies: !pred on a NULL column value is NULL
+    // (row dropped), matching both the brute-force query() and the DuckDB
+    // oracle. A sub-3-rune search inside ! inverts the silent-drop rule:
+    // `!col.search("ab")` is literally true (matches every row) because the
+    // positive form matches none — pinned in QueryParserSpec.
+    case Not(e) => !predicate(e)
     case Cmp(col, op, Right(s)) => op match {
       case "==" =>
         if (Tokenizer.triKeys(s).isEmpty) lit(false) else column(col).contains(s)

@@ -194,7 +194,13 @@ class TrigramIndexSpec extends SparkTestBase {
       """text.regex("the (batch|merge)")""",
       """text.regex("quer(y|ies)") && num < 80""",
       """text.regex("[a-z]+") && num == 44""",      // opaque -> scan predicate
-      """text.regex("the .* merge") || num == 45""")
+      """text.regex("the .* merge") || num == 45""",
+      // negation: never indexable itself, rides the re-applied predicate
+      // next to indexed positive conjuncts; De Morgan shapes included
+      """text.search("merge") && !text.search("the batch")""",
+      """!text.search("merge") && num < 60""",
+      """!(text.search("the batch") || num >= 50) && text.search("merge")""",
+      """!(num == 44 && text.search("merge")) && num < 55""")
     for (e <- exprs) {
       val a = QueryParser.queryIndexed(spark, df, "doc_id", root, e)
         .orderBy($"doc_id").collect().toSeq

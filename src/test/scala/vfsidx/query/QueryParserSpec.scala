@@ -63,6 +63,37 @@ class QueryParserSpec extends SparkTestBase {
     intercept[IllegalArgumentException](parse("""title.regex("(unclosed")"""))
   }
 
+  test("negation: De Morgan push-down, double negation, 3VL, short-needle inversion") {
+    // atom-level
+    assert(parse("""!title.search("鬼滅の")""") == Seq(Not(Search("title", "鬼滅の"))))
+    assert(parse("""!!title.search("鬼滅の")""") == Seq(Search("title", "鬼滅の")))
+    // De Morgan over a group: !(a || b) = !a && !b (one conjunct group)
+    assert(parseQuery("""!(id == 1 || id == 2)""") ==
+      Seq(Seq(Not(Cmp("id", "==", Left(1L))), Not(Cmp("id", "==", Left(2L))))))
+    // !(a && b) = !a || !b (two groups)
+    assert(parseQuery("""!(id == 1 && title.search("鬼滅の"))""") ==
+      Seq(Seq(Not(Cmp("id", "==", Left(1L)))),
+          Seq(Not(Search("title", "鬼滅の")))))
+    // rows: negation composes with conjuncts
+    val r = query(df, """content.search("日本の") && !title.search("警視庁")""")
+      .select($"id").as[Long].collect().sorted
+    assert(r.toSeq == Seq(132763L))
+    // a negated sub-3-rune search is literally TRUE (positive form matches
+    // nothing by the reference drop rule), so every row passes
+    assert(query(df, """!title.search("ab")""").count() == df.count())
+    // precedence: ! binds tighter than && — !a && b, not !(a && b)
+    val p = query(df, """!content.search("警察組織") && id > 100""")
+      .select($"id").as[Long].collect().sorted
+    assert(p.toSeq == Seq(10435L, 132763L))
+    // pathological: negating an OR of 4-conjunct groups cross-products to
+    // 4^4 = 256 groups — negate()'s own cap must fire loudly (the inner
+    // parse is only 4 groups, well under the bound)
+    val wide = (1 to 4).map(g =>
+      (1 to 4).map(a => s"id == ${g * 10 + a}").mkString(" && ")).mkString(" || ")
+    assert(parseQuery(wide).size == 4)
+    intercept[IllegalArgumentException](parseQuery(s"!($wide)"))
+  }
+
   test("string ordering comparisons are lexicographic scan predicates") {
     // reference StringOp accepts <,<=,>,>= on strings
     // (/root/reference/search_cond.go:793-822) ordering by trigram KEY; we
