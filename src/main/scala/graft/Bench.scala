@@ -109,7 +109,7 @@ object Bench {
       "q1_agg", "q4_join_multi", "q9_window", "q13_sessionize",
       "ft_bm25_topk", "ft_trigram_search", "ft_query_lang", "ft_query_or",
       "ft_query_paren", "ft_nears", "num_index_range", "ft_count_term",
-      "ft_count_and", "ft_regex_search",
+      "ft_count_and", "ft_regex_search", "ft_query_not",
       "dedup_minhash_lsh", "dedup_simhash", "ann_cosine_topk",
       "text_quality", "stream_window_agg")
     // warm the documents-table index set (word + trigram + numeric) outside timing
