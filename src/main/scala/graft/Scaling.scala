@@ -123,6 +123,22 @@ object Scaling {
         .getOrCreate()
   }
 
+  /** The corpus table for a measurement: GRAFT_CORPUS_DIR (shared across
+    * interleaved legs; materialized on first use — the generator is
+    * deterministic so sharing is byte-identical to regenerating) or a
+    * per-run table under `fallback`. */
+  private def corpusTable(spark: SparkSession, nDocs: Long, fallback: String): String = {
+    val target = sys.env.get("GRAFT_CORPUS_DIR") match {
+      case Some(d) => s"$d/corpus_$nDocs"
+      case None => fallback
+    }
+    val p = new org.apache.hadoop.fs.Path(target)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(target, "_SUCCESS")))
+      vfsidx.corpus.Synth.corpus(spark, nDocs, 64).write.mode("overwrite").parquet(target)
+    target
+  }
+
   def measure(cores: Int, nDocs: Long): Run = {
     {
       val spark = scalingSession(cores)
@@ -131,11 +147,13 @@ object Scaling {
       val dir = java.nio.file.Files.createTempDirectory(base, s"scale_${cores}_").toString
       // materialize the corpus as a parquet table first (untimed): the
       // input_hint contract is an Iceberg TABLE of source code — the build
-      // job reads a table, it doesn't run the generator.
-      vfsidx.corpus.Synth.corpus(spark, nDocs, 64)
-        .write.parquet(s"$dir/corpus")
+      // job reads a table, it doesn't run the generator. The generator is
+      // deterministic, so interleaved repetition harnesses may share ONE
+      // materialized table across legs via GRAFT_CORPUS_DIR (identical
+      // bytes to regenerating; removes minutes of untimed per-leg setup).
+      val corpusDir = corpusTable(spark, nDocs, s"$dir/corpus")
       import spark.implicits._
-      val corpus = spark.read.parquet(s"$dir/corpus").as[vfsidx.corpus.SourceFile]
+      val corpus = spark.read.parquet(corpusDir).as[vfsidx.corpus.SourceFile]
       // executor registration + first-codegen warmup happens before the
       // clock starts: cluster spin-up is not build throughput
       spark.range(0, 1000000, 1, 64).selectExpr("sum(id)").collect()
@@ -166,9 +184,7 @@ object Scaling {
     spark.sparkContext.setLogLevel("WARN")
     val base = java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_SCALE_TMP", "/tmp"))
     val dir = java.nio.file.Files.createTempDirectory(base, s"scale_tri_${cores}_").toString
-    vfsidx.corpus.Synth.corpus(spark, nDocs, 64)
-      .write.parquet(s"$dir/corpus")
-    val corpus = spark.read.parquet(s"$dir/corpus")
+    val corpus = spark.read.parquet(corpusTable(spark, nDocs, s"$dir/corpus"))
       .select("doc_id", "content")
     spark.range(0, 1000000, 1, 64).selectExpr("sum(id)").collect() // executor warmup
     val t0 = System.nanoTime()
