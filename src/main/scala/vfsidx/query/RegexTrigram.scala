@@ -171,9 +171,46 @@ object RegexTrigram {
       }
     }
 
+    /** One in-class escape, mirroring the top-level [[escape]] exactly:
+      * Some(decoded char) for a modeled literal escape, None for a class
+      * shorthand (\\d etc. -- the class degrades to [[AnyChar]], sound), and
+      * [[Unsupported]] for every OTHER alphanumeric escape (\\u, \\p, \\c,
+      * \\Q, octal/backrefs, ...). Falling through to "the escape letter as
+      * a literal" would mis-model the class -- e.g. `[\\x41]` would become
+      * {x,4,1} instead of {A}, producing clauses that are NOT necessary
+      * conditions and silently dropping true matches on the indexed path. */
+    private def classEscape(): Option[Char] = {
+      i += 1
+      if (!more) throw new Unsupported("trailing backslash in class")
+      val c = peek; i += 1
+      c match {
+        case 'd' | 'D' | 'w' | 'W' | 's' | 'S' | 'h' | 'H' | 'v' | 'V' => None
+        case 'n' => Some('\n')
+        case 't' => Some('\t')
+        case 'r' => Some('\r')
+        case 'f' => Some('\f')
+        case 'a' => Some('\u0007')
+        case 'e' => Some('\u001b')
+        case 'x' =>
+          if (i + 1 < p.length && p.charAt(i) != '{') {
+            val h = p.substring(i, i + 2); i += 2
+            Some(Integer.parseInt(h, 16).toChar)
+          } else throw new Unsupported("\\x{...} in class")
+        case other if other.isLetterOrDigit =>
+          // \\uFFFF (trailing digits would leak into the class), \\p{...},
+          // \\cX, \\Q, \\b (backspace in-class), octal -- not modeled
+          throw new Unsupported(s"\\$other in class")
+        case lit => Some(lit) // \\. \\\\ \\] \\- \\[ ...
+      }
+    }
+
     /** `[...]`: a small positive class becomes an alternation of 1-char
       * literals; negation, ranges wider than [[ClassCap]], or embedded
-      * escape classes degrade to [[AnyChar]] (sound: fewer constraints). */
+      * escape classes degrade to [[AnyChar]] (sound: fewer constraints).
+      * Class intersection (`&&`) and nested classes (an unescaped `[`)
+      * shift where the class ENDS -- mis-parsing them would misalign the
+      * rest of the pattern and fabricate non-necessary literals, so they
+      * are [[Unsupported]] (full scan, never wrong). */
     private def charClass(): Re = {
       i += 1 // consume '['
       var negated = false
@@ -183,26 +220,25 @@ object RegexTrigram {
       var first = true
       while (more && (peek != ']' || first)) {
         first = false
-        val lo: Char =
-          if (peek == '\\') {
-            i += 1
-            if (!more) throw new Unsupported("trailing backslash in class")
-            val c = peek; i += 1
-            c match {
-              case 'd' | 'D' | 'w' | 'W' | 's' | 'S' => opaque = true; ' '
-              case 'n' => '\n'
-              case 't' => '\t'
-              case 'r' => '\r'
-              case other => other
-            }
-          } else { val c = peek; i += 1; c }
-        if (more && peek == '-' && i + 1 < p.length && p.charAt(i + 1) != ']') {
-          i += 1 // consume '-'
-          val hi = if (peek == '\\') { i += 1; val c = peek; i += 1; c }
-                   else { val c = peek; i += 1; c }
-          if (hi - lo + 1 > ClassCap) opaque = true
-          else (lo to hi).foreach(chars += _)
-        } else if (!opaque) chars += lo
+        if (peek == '[') throw new Unsupported("nested class")
+        if (peek == '&' && i + 1 < p.length && p.charAt(i + 1) == '&')
+          throw new Unsupported("class intersection &&")
+        val loOpt: Option[Char] =
+          if (peek == '\\') classEscape()
+          else { val c = peek; i += 1; Some(c) }
+        loOpt match {
+          case None => opaque = true
+          case Some(lo) =>
+            if (more && peek == '-' && i + 1 < p.length && p.charAt(i + 1) != ']') {
+              i += 1 // consume '-'
+              val hi: Char =
+                (if (peek == '\\') classEscape()
+                 else { val c = peek; i += 1; Some(c) })
+                  .getOrElse(throw new Unsupported("class shorthand as range bound"))
+              if (hi - lo + 1 > ClassCap) opaque = true
+              else (lo to hi).foreach(chars += _)
+            } else if (!opaque) chars += lo
+        }
       }
       if (!more) throw new Unsupported("unclosed [")
       i += 1 // consume ']'
@@ -381,12 +417,16 @@ object RegexTrigram {
         out.result()
       }.toDF("doc_id", "member")
 
-    // (key, doc) is unique per index, so count == number of the member's
-    // keys the doc holds; full member -> its clause is satisfied for the doc
+    // (key, doc) is unique per index under normal operation, so count ==
+    // number of the member's keys the doc holds; `>=` (not `===`) keeps a
+    // doc whose pairs were inflated by a duplicated (key, doc) posting
+    // (re-ingest / overlapping generations) — a harmless false positive
+    // the rlike recheck removes, where `===` would silently DROP a true
+    // match (the one defensive gap vs searchCandidates' countDistinct)
     val reqDf = reqKeys.toSeq.toDF("member", "req")
     pairs.groupBy($"doc_id", $"member").agg(count(lit(1)).as("nk"))
       .join(broadcast(reqDf), "member")
-      .filter($"nk" === $"req")
+      .filter($"nk" >= $"req")
       .select($"doc_id", shiftright($"member", 16).as("clause"))
       .groupBy($"doc_id")
       .agg(countDistinct($"clause").as("nc"))

@@ -26,7 +26,8 @@ class RegexTrigramSpec extends SparkTestBase {
       (402L, "emoji 😀 in the middle of the batch"),
       (403L, ""),
       (404L, "queries and querying the index merge path"),
-      (405L, "a+b*c (escaped) [class] {brace}"))
+      (405L, "a+b*c (escaped) [class] {brace}"),
+      (406L, "the dataAbatch marker row"))
   }
 
   private lazy val df = rows.toDF("doc_id", "text").cache()
@@ -60,7 +61,9 @@ class RegexTrigramSpec extends SparkTestBase {
     "batch.merge",                             // dot between literals
     "(the )?maybe_absent?",                    // finite set via optionals
     "😀 in",                                   // supplementary-plane literal
-    "zzz_nowhere(a|b)")                        // indexable but zero matches
+    "zzz_nowhere(a|b)",                        // indexable but zero matches
+    "data[\\x41]batch",                        // in-class \xHH decodes to 'A'
+    "[\\t ]the")                               // in-class \t + space literals
 
   // patterns that must FALL BACK to scan (no usable clause / unsupported)
   private val scanPatterns = Seq(
@@ -71,7 +74,10 @@ class RegexTrigramSpec extends SparkTestBase {
     "a{0,3}",                // may match empty
     "(?i)batch",             // flag -> unsupported
     "(batch)\\1",            // backreference -> unsupported
-    "\\d{4}-\\d{2}")         // digits only, no literal >= 3 chars survives
+    "\\d{4}-\\d{2}",         // digits only, no literal >= 3 chars survives
+    "[\\u0064]ata",          // in-class \\u -> unsupported (not a literal 'u')
+    "merge[a[bc]]",          // nested class -> unsupported
+    "bat[a-z&&[^m]]h")       // class intersection -> unsupported
 
   test("indexed regex == full-scan rlike on indexable patterns") {
     for (p <- indexablePatterns)
@@ -91,8 +97,16 @@ class RegexTrigramSpec extends SparkTestBase {
       for (clause <- pl.get; m <- clause)
         assert(m.codePointCount(0, m.length) >= 3, s"'$p' member '$m'")
     }
-    for (p <- Seq(".*", "[a-z]+", "ab", "x9|batch", "(?i)batch", "(batch)\\1"))
+    for (p <- Seq(".*", "[a-z]+", "ab", "x9|batch", "(?i)batch", "(batch)\\1",
+        "[\\u0064]ata", "merge[a[bc]]", "bat[a-z&&[^m]]h"))
       assert(RegexTrigram.plan(p).isEmpty, s"expected scan fallback for '$p'")
+    // the round-5 advisory's exact failure case: [\x41] must plan to {A},
+    // never {x,4,1} — i.e. the clause set must admit 'dataAbatch'
+    val fixed = RegexTrigram.plan("data[\\x41]batch")
+    assert(fixed.nonEmpty)
+    for (clause <- fixed.get)
+      assert(clause.exists("dataAbatch".contains(_)),
+        s"clause $clause would drop the true match 'dataAbatch'")
   }
 
   test("necessity property: every clause holds on every matching string") {
