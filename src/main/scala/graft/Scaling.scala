@@ -134,8 +134,23 @@ object Scaling {
     }
     val p = new org.apache.hadoop.fs.Path(target)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(target, "_SUCCESS")))
-      vfsidx.corpus.Synth.corpus(spark, nDocs, 64).write.mode("overwrite").parquet(target)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(target, "_SUCCESS"))) {
+      // Write-then-RENAME so two legs racing on a shared GRAFT_CORPUS_DIR
+      // can never corrupt each other (round-5 advisory): each writer stages
+      // into its own temp sibling and the loser of the atomic rename simply
+      // discards its copy — the generator is deterministic, so either
+      // staged table is byte-identical.
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"${target}_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+      vfsidx.corpus.Synth.corpus(spark, nDocs, 64)
+        .write.mode("overwrite").parquet(tmp.toString)
+      if (!fs.rename(tmp, p)) {
+        // another leg won the race (target now exists) — use theirs
+        require(fs.exists(new org.apache.hadoop.fs.Path(target, "_SUCCESS")),
+          s"rename $tmp -> $target failed and no committed corpus exists")
+        fs.delete(tmp, true)
+      }
+    }
     target
   }
 

@@ -96,9 +96,13 @@ object Dedup {
     val sh = shingleDF(s, dir)
     // All NumHashes minhashes in ONE aggregation pass (12 min() aggregates
     // over the shingle stream) instead of exploding it 12x before the
-    // shuffle — same signature values, 1/12th the shuffle rows.
+    // shuffle — same signature values, 1/12th the shuffle rows. The per-doc
+    // shingle count rides the SAME aggregation (round-6: the verify step
+    // below needs |sh(doc)| — computing it here removes what used to be a
+    // separate full tokenize pass + shuffle over the shingle stream).
     val mhAggs = (0 until NumHashes).map(i =>
-      min(md5(concat(lit(i.toString), lit(":"), $"sh"))).as(s"mh$i"))
+      min(md5(concat(lit(i.toString), lit(":"), $"sh"))).as(s"mh$i")) :+
+      count(lit(1)).as("n_sh")
     val sig = sh.groupBy($"doc_id").agg(mhAggs.head, mhAggs.tail: _*)
     // band key = md5 of the band's minhashes joined in i order — identical
     // to the SQL oracle's md5(string_agg(mh, '|' ORDER BY i))
@@ -127,10 +131,19 @@ object Dedup {
     val candDocs = cand.select($"d1".as("doc_id"))
       .union(cand.select($"d2".as("doc_id"))).distinct()
     val shC = sh.join(candDocs, Seq("doc_id"), "left_semi")
-    val sizes = shC.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = cand
-      .join(shC.toDF("d1", "sh"), "d1")
-      .join(shC.toDF("d2", "sh"), Seq("d2", "sh"))
+    val sizes = sig.select($"doc_id", $"n_sh")   // off the signature pass
+    // |sh(d1) ∩ sh(d2)| via ONE instance of the candidate shingle stream
+    // (round 6): each pair fans out to its two member docs, the single shC
+    // join tags every (pair, shingle, side) occurrence, and a shingle seen
+    // from BOTH sides (n == 2: (doc, sh) is distinct per side and d1 < d2)
+    // is an intersection member. The former d1-join + d2-join shape
+    // evaluated the tokenize/semi-join subtree twice.
+    val pairSides = cand.select($"d1".as("doc_id"), $"d1", $"d2")
+      .union(cand.select($"d2".as("doc_id"), $"d1", $"d2"))
+    val inter = pairSides
+      .join(shC, "doc_id")
+      .groupBy($"d1", $"d2", $"sh").agg(count(lit(1)).as("n_side"))
+      .filter($"n_side" === 2)
       .groupBy($"d1", $"d2").agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.toDF("d1", "n1"), "d1")

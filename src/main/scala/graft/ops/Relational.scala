@@ -58,19 +58,33 @@ object Relational {
       .orderBy($"c_mktsegment")
   }
 
-  /** Multi-way join chain with broadcast dims + filters (TPC-H Q5 shape). */
+  /** Multi-way join chain with broadcast dims + filters (TPC-H Q5 shape).
+    *
+    * Join ORDER is deliberate (round-6 optimization, guide §3): the ASIA
+    * region filter reaches the fact side BEFORE the one big join. Joining
+    * li⋈o first (the round-5 shape) shuffles/broadcasts every order and
+    * applies the region filter only at the very end; here the dim chain
+    * region→nation→customer collapses into one broadcast ASIA-customer
+    * set, orders pre-filter against it broadcast-side (~1/5 survive), and
+    * only the surviving orders meet lineitem — the same rows and
+    * aggregates (inner joins + filter commute), with the heavy join's
+    * build side cut ~5x (small enough that AQE plans it as a broadcast
+    * join of lineitem, removing the lineitem shuffle entirely). */
   def q4JoinMulti(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = t(s, dir, "lineitem")
     val o = t(s, dir, "orders")
-    val c = broadcast(t(s, dir, "customer"))
+    val c = t(s, dir, "customer")
     val n = broadcast(t(s, dir, "nation"))
     val r = broadcast(t(s, dir, "region"))
-    li.join(o, $"l_orderkey" === $"o_orderkey")
-      .join(c, $"o_custkey" === $"c_custkey")
-      .join(n, $"c_nationkey" === $"n_nationkey")
-      .join(r, $"n_regionkey" === $"r_regionkey")
-      .filter($"r_name" === "ASIA")
+    val asiaCust = broadcast(
+      c.join(n, $"c_nationkey" === $"n_nationkey")
+        .join(r, $"n_regionkey" === $"r_regionkey")
+        .filter($"r_name" === "ASIA")
+        .select($"c_custkey", $"n_name"))
+    val asiaOrders = o.join(asiaCust, $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"n_name")
+    li.join(asiaOrders, $"l_orderkey" === $"o_orderkey")
       .groupBy($"n_name")
       .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
         count(lit(1)).as("n_items"))

@@ -154,7 +154,29 @@ object IndexBuild {
   def dictGenDir(dir: String, lo: Int, hi: Int) = s"$dir/dictionary/gen=${lo}_$hi"
   def segmentsGenDir(dir: String, lo: Int, hi: Int) = s"$dir/segments/gen=${lo}_$hi"
 
-  private val genRe = """gen=(\d+)_(\d+)""".r
+  private[build] val genRe = """gen=(\d+)_(\d+)""".r
+
+  /** One-job per-generation stat collection: read EVERY generation's stats
+    * table at once and map each row back to its `gen=lo_hi` dir via
+    * `input_file_name` — one driver round-trip instead of one tiny job per
+    * generation (the compaction policies call this on every trigger; at a
+    * production generation count the N-job version is pure scheduling
+    * overhead). Values per generation are SUMMED over its rows (each stats
+    * table holds one row, but multiple part files stay correct). */
+  private[build] def statPerGen(spark: SparkSession, dirs: Seq[(Int, Int) => String],
+                                gens: Seq[(Int, Int)], column: String): Map[(Int, Int), Long] = {
+    import spark.implicits._
+    spark.read.parquet(gens.flatMap(g => dirs.map(_(g._1, g._2))): _*)
+      .select(input_file_name().as("f"), col(column).cast("long"))
+      .as[(String, Long)].collect()
+      .groupBy { case (f, _) =>
+        genRe.findFirstMatchIn(f) match {
+          case Some(m) => (m.group(1).toInt, m.group(2).toInt)
+          case None => throw new IllegalStateException(s"no gen= in stats path $f")
+        }
+      }
+      .map { case (g, rows) => g -> rows.map(_._2).sum }
+  }
 
   /** Generation-listing machinery shared by the word and trigram indexes
     * (one place owns the gen= naming, the `_SUCCESS` gating and the
@@ -439,6 +461,11 @@ object IndexBuild {
     // between stages) ----
     val pending = (0 until cfg.numBatches).filter(b => !TableIO.done(spark, runsDir(dir, b)))
     val needDocStats = !TableIO.done(spark, docStatsBatchDir(dir, "init"))
+    // per-batch Σtf_sum, collected by the SAME metadata agg that already
+    // counts postings: when every batch was built by THIS call the
+    // generation's corpus tf_sum is just their sum, and the stats stage
+    // skips its own (serial, pre-segments) chunks agg job entirely
+    val batchTfSums = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     if (pending.nonEmpty || needDocStats) {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.max(1, math.min(cfg.ingestParallelism, pending.size + 1)))
@@ -465,9 +492,12 @@ object IndexBuild {
               // gets min/max row-group pruning on doc_id
               val batchDocs = docs.filter($"doc_id" >= lo && $"doc_id" < hi).as[SourceFile]
               TableIO.write(chunkRuns(batchDocs, cfg.shardSize * 1024), rDir)
-              // postings count off the tiny chunk metadata, no data scan
-              val nPost = spark.read.parquet(rDir)
-                .agg(coalesce(sum($"count"), lit(0L))).as[Long].head()
+              // postings count + tf sum off the tiny chunk metadata in one
+              // job, no data scan
+              val (nPost, tfSum) = spark.read.parquet(rDir)
+                .agg(coalesce(sum($"count"), lit(0L)), coalesce(sum($"tf_sum"), lit(0L)))
+                .as[(Long, Long)].head()
+              batchTfSums.put(b, tfSum)
               LineageRow("runs", "", b, "", "", hi - lo, nPost, 0L,
                 System.currentTimeMillis() - t0)
             }
@@ -490,7 +520,11 @@ object IndexBuild {
       } finally pool.shutdown()
     }
 
-    buildGeneration(spark, dir, 0 until cfg.numBatches, nDocs, cfg, lineage)
+    val knownTfSum =
+      if ((0 until cfg.numBatches).forall(batchTfSums.containsKey))
+        Some((0 until cfg.numBatches).map(batchTfSums.get(_)).sum)
+      else None   // resumed batches: the stats stage re-aggregates the chunks
+    buildGeneration(spark, dir, 0 until cfg.numBatches, nDocs, cfg, lineage, knownTfSum)
 
     if (lineage.nonEmpty) timed("lineage") {
       TableIO.append(spark.createDataset(lineage.toSeq).toDF(), lineageDir(dir))
@@ -505,7 +539,8 @@ object IndexBuild {
     * (one generation per new batch) and [[compactTail]]/[[remerge]]. */
   private def buildGeneration(spark: SparkSession, dir: String, batches: Seq[Int],
                               nDocs: Long, cfg: BuildConfig,
-                              lineage: scala.collection.mutable.ArrayBuffer[LineageRow]): Unit = {
+                              lineage: scala.collection.mutable.ArrayBuffer[LineageRow],
+                              knownTfSum: Option[Long] = None): Unit = {
     import spark.implicits._
     val (lo, hi) = (batches.min, batches.max)
     val gen = s"${lo}_$hi"
@@ -528,7 +563,11 @@ object IndexBuild {
     // sum(tf) comes off the tiny per-chunk metadata — never a postings scan.
     val sDir = statsGenDir(dir, lo, hi)
     if (!TableIO.done(spark, sDir)) timed(s"stats:$gen") {
-      val tfSum = chunks.agg(coalesce(sum($"tf_sum"), lit(0L))).as[Long].head()
+      // Σtf arrives pre-computed from the caller when it already aggregated
+      // the same chunk metadata (stage-1 lineage agg / folded gens' stats);
+      // only resumes with unknown provenance pay the chunks agg job here
+      val tfSum = knownTfSum.getOrElse(
+        chunks.agg(coalesce(sum($"tf_sum"), lit(0L))).as[Long].head())
       TableIO.write(Seq(CorpusStats(nDocs, tfSum,
         if (nDocs == 0) 0.0 else tfSum.toDouble / nDocs)).toDF(), sDir)
     }
@@ -536,7 +575,33 @@ object IndexBuild {
 
     // ---- the one data shuffle: SPIMI merge of this generation's chunks ----
     val segDir = segmentsGenDir(dir, lo, hi)
-    if (!TableIO.done(spark, segDir)) timed(s"segments:$gen") {
+    // Dictionary DERIVED from the chunk metadata (round 6): df = Σ count and
+    // tf_sum = Σ chunk tf_sum per term — each posting lives in exactly one
+    // chunk, so the values are identical to the former segment-metadata
+    // derivation. Reading the CHUNKS instead of the written segments makes
+    // the dict job independent of the segments job, so the two run
+    // CONCURRENTLY (guide §2.6: overlap independent jobs — the dict's small
+    // agg back-fills executors the segment shuffle's stage gaps leave idle)
+    // instead of the dict serializing behind the segment commit.
+    val dDir = dictGenDir(dir, lo, hi)
+    val needDict = !TableIO.done(spark, dDir)
+    def writeDict(): Unit = timed(s"dict:$gen") {
+      TableIO.write(
+        chunks.groupBy($"term")
+          .agg(sum($"count").cast("long").as("df"), sum($"tf_sum").as("tf_sum")),
+        dDir)
+    }
+    val dictPool =
+      if (needDict && !TableIO.done(spark, segDir))
+        Some(java.util.concurrent.Executors.newSingleThreadExecutor())
+      else None
+    val dictFuture = dictPool.map(_.submit(new java.util.concurrent.Callable[Unit] {
+      def call(): Unit = writeDict()
+    }))
+
+    // a segments failure must still reap the concurrent dict thread (the
+    // generation stays uncommitted either way — resume redoes the rest)
+    try if (!TableIO.done(spark, segDir)) timed(s"segments:$gen") {
       val t0 = System.currentTimeMillis()
       // HASH partition on (term, pre_shard) — not range: range partitioning
       // needs an extra sampling pass, and lexicographically adjacent term
@@ -579,17 +644,13 @@ object IndexBuild {
           LineageRow("segments", gen, pid, tf_, tl_, 0L, np, bytes,
             System.currentTimeMillis() - t0)
         }
-    }
+    } finally dictPool.foreach(_.shutdown())
 
-    // Dictionary DERIVED from segment metadata: df = Σ count and
-    // tf_sum = Σ row tf_sum per term (each posting lives in exactly one
-    // segment row) — no second pass over the postings.
-    val dDir = dictGenDir(dir, lo, hi)
-    if (!TableIO.done(spark, dDir)) timed(s"dict:$gen") {
-      TableIO.write(
-        spark.read.parquet(segDir).groupBy($"term")
-          .agg(sum($"count").cast("long").as("df"), sum($"tf_sum").as("tf_sum")),
-        dDir)
+    // join the concurrent dict job (or run it inline when the segments were
+    // already committed — a resume where only the dict is missing)
+    dictFuture match {
+      case Some(f) => f.get()
+      case None => if (needDict) writeDict()
     }
   }
 
@@ -736,11 +797,16 @@ object IndexBuild {
     if (TableIO.done(spark, rDir) && TableIO.done(spark, dsDir) && genDone) return
     val nNew = newDocs.count()
     val lineage = scala.collection.mutable.ArrayBuffer[LineageRow]()
+    var knownTfSum: Option[Long] = None
     if (!TableIO.done(spark, rDir)) {
       val t0 = System.currentTimeMillis()
       TableIO.write(chunkRuns(newDocs, cfg.shardSize * 1024), rDir)
-      val nPost = spark.read.parquet(rDir)
-        .agg(coalesce(sum($"count"), lit(0L))).as[Long].head()
+      // one metadata agg yields the lineage posting count AND the
+      // generation's tf_sum (its stats stage then skips its own agg job)
+      val (nPost, tfSum) = spark.read.parquet(rDir)
+        .agg(coalesce(sum($"count"), lit(0L)), coalesce(sum($"tf_sum"), lit(0L)))
+        .as[(Long, Long)].head()
+      knownTfSum = Some(tfSum)
       lineage += LineageRow("runs", "", batchId, "", "", nNew, nPost, 0L,
         System.currentTimeMillis() - t0)
     }
@@ -754,7 +820,8 @@ object IndexBuild {
     // scan would pay per-file listing/footer overhead per generation.
     // Compaction re-spreads the folded data across the full bucket count.
     buildGeneration(spark, dir, Seq(batchId), nNew,
-      cfg.copy(numBuckets = ingestBuckets(nNew, cfg.numBuckets, cfg.shardSize)), lineage)
+      cfg.copy(numBuckets = ingestBuckets(nNew, cfg.numBuckets, cfg.shardSize)),
+      lineage, knownTfSum)
     if (lineage.nonEmpty)
       TableIO.append(spark.createDataset(lineage.toSeq).toDF(), lineageDir(dir))
   }
@@ -792,11 +859,14 @@ object IndexBuild {
       case _ => ()
     }
     val batches = gens.flatMap { case (l, h) => l to h }
-    val nDocs = spark.read
+    // n_docs AND tf_sum are additive across the folded generations, so the
+    // combined stats come off the inputs' stats rows in this one tiny job —
+    // the fold's stats stage then skips its own chunks agg
+    val (nDocs, tfSum) = spark.read
       .parquet(gens.map { case (l, h) => statsGenDir(dir, l, h) }: _*)
-      .agg(sum($"n_docs")).as[Long].head()
+      .agg(sum($"n_docs"), sum($"tf_sum")).as[(Long, Long)].head()
     val lineage = scala.collection.mutable.ArrayBuffer[LineageRow]()
-    buildGeneration(spark, dir, batches, nDocs, cfg, lineage)
+    buildGeneration(spark, dir, batches, nDocs, cfg, lineage, Some(tfSum))
     // the folded inputs are NOT deleted here: once the combined generation
     // commits, [[generations]] hides them (containment rule) so new readers
     // never see them, while readers already mid-scan keep their files.
@@ -805,16 +875,11 @@ object IndexBuild {
       TableIO.append(spark.createDataset(lineage.toSeq).toDF(), lineageDir(dir))
   }
 
-  /** Per-generation doc counts (tiny per-gen stats reads) — the size
-    * measure for tiered compaction. */
+  /** Per-generation doc counts — the size measure for tiered compaction.
+    * ONE job across all generations ([[statPerGen]]). */
   private def genSizes(spark: SparkSession, dir: String,
-                       gens: Seq[(Int, Int)]): Map[(Int, Int), Long] = {
-    import spark.implicits._
-    gens.map { case g @ (l, h) =>
-      g -> spark.read.parquet(statsGenDir(dir, l, h))
-        .select($"n_docs").as[Long].head()
-    }.toMap
-  }
+                       gens: Seq[(Int, Int)]): Map[(Int, Int), Long] =
+    statPerGen(spark, Seq(statsGenDir(dir, _, _)), gens, "n_docs")
 
   /** SIZE-TIERED bounded compaction — the refresh/stream auto-fold policy
     * (the reference's accumulated-write-file merge with a work bound

@@ -192,10 +192,9 @@ object NumericIndex {
     val gens = generations(spark, root, column)
     if (gens.size <= maxGenerations) false
     else {
-      val sizes = gens.map { case g @ (l, h) =>
-        g -> spark.read.parquet(statsGenDir(root, column, l, h))
-          .select($"n_rows").as[Long].head()
-      }.toMap
+      // one job across all generations' stats (IndexBuild.statPerGen)
+      val sizes = IndexBuild.statPerGen(
+        spark, Seq(statsGenDir(root, column, _, _)), gens, "n_rows")
       GenListing.pickTieredWindow(GenListing.contiguousGroups(gens), sizes,
         tierFanout, maxFoldDocs) match {
         case Some(win) =>

@@ -43,7 +43,8 @@ final case class Hit(doc_id: Long, score: Double)
   * and oracle.
   */
 class Bm25Index(spark: SparkSession, dir: String,
-                mergeOnSearch: Option[IndexBuild.BuildConfig] = None) {
+                mergeOnSearch: Option[IndexBuild.BuildConfig] = None,
+                directFloor: Long = Bm25Index.DirectFloor) {
   import spark.implicits._
 
   // MERGE-ON-SEARCH (the reference's query-time merge trigger,
@@ -195,6 +196,17 @@ class Bm25Index(spark: SparkSession, dir: String,
     if (present.isEmpty) return spark.emptyDataset[Hit].toDF()
     val dfs = stats.map { case (t, (df, _)) => t -> df }
 
+    // SMALL-INDEX COST GATE (zero extra jobs — Σdf comes off the termStats
+    // collect the query already paid): block-max MaxScore spends three
+    // driver round-trips (phase-1 θ job, maxUb metadata job, ranges
+    // collect) to AVOID decoding postings; under the floor the full decode
+    // is cheaper than the trips it saves, so score everything in one job.
+    // Identical ranks either way (both paths are exact; same gate pattern
+    // as TrigramIndex.nears' prunedFloor). At production scale Σdf dwarfs
+    // the floor and pruning engages unchanged.
+    if (present.map(dfs).sum <= directFloor)
+      return rank(contributions(present, idfs), k, None)
+
     // phase 1: θ from the rarest term's own top-k. rank() HALF_UP-rounds to
     // 9 dp (can exceed the true k-th score by 5e-10), so back off 1e-9 to
     // keep θ a valid LOWER bound — pruning bounds must all be conservative.
@@ -248,6 +260,11 @@ class Bm25Index(spark: SparkSession, dir: String,
     if (idfs.size < terms.size)  // a term is absent from the corpus -> AND is empty
       return spark.emptyDataset[Hit].toDF()
     val dfs = stats.map { case (t, (df, _)) => t -> df }
+    // small-index gate: under the floor, decoding every pruned-scan block
+    // beats the rarest-term ranges collect round-trip (the HAVING-all
+    // intersection is the correctness either way)
+    if (dfs.values.sum <= directFloor)
+      return rank(contributions(terms, idfs), k, Some(terms.size))
     val rarest = terms.minBy(t => dfs.getOrElse(t, 0L))
     // Block metadata of the rarest term: df/128 (first,last) ranges — bounded
     // and broadcastable (rare by definition). Other terms skip blocks whose
@@ -275,12 +292,18 @@ class Bm25Index(spark: SparkSession, dir: String,
     val stats = termStats(terms)
     if (stats.size < terms.size) return empty  // a term absent -> AND empty
     val dfs = stats.map { case (t, (df, _)) => t -> df }
-    val rarest = terms.minBy(dfs)
-    val ranges = Bm25Index.coalesce(segments.filter($"term" === rarest)
-      .flatMap(s => s.block_first.zip(s.block_last)).collect())
     val noScores = terms.map(_ -> 0.0).toMap   // scores unused by the verbs
     val n = terms.size
-    contributions(terms, noScores, Some(ranges), rarest)
+    // same small-index gate as topKAnd: skip the ranges collect round-trip
+    // when decoding everything is cheaper than the skipping it buys
+    val (ranges, rarest) =
+      if (dfs.values.sum <= directFloor) (None, "")
+      else {
+        val r = terms.minBy(dfs)
+        (Some(Bm25Index.coalesce(segments.filter($"term" === r)
+          .flatMap(s => s.block_first.zip(s.block_last)).collect())), r)
+      }
+    contributions(terms, noScores, ranges, rarest)
       .toDF("term", "doc_id", "c")
       .groupBy($"doc_id").agg(countDistinct($"term").as("nt"))
       .filter($"nt" === n)
@@ -290,6 +313,13 @@ class Bm25Index(spark: SparkSession, dir: String,
 }
 
 object Bm25Index {
+  /** Small-index cost-gate floor: queries whose terms' total df is at or
+    * under this skip the pruning machinery's driver round-trips (phase-1 θ,
+    * maxUb, rarest-term ranges) and decode outright — decoding ≤4M postings
+    * across the cluster is cheaper than the 2-3 jobs pruning costs, and
+    * both paths are exact. Mirrors [[TrigramIndex.nears]]' prunedFloor. */
+  val DirectFloor: Long = 4L << 20
+
   /** Sort by start and merge overlapping/nested intervals so the binary
     * search in [[overlaps]] sees disjoint ranges. Ranges pooled from several
     * terms' blocks interleave and nest; searching them un-merged can falsely

@@ -381,11 +381,21 @@ object RegexTrigram {
 
     val allKeys = members.flatMap(_._2).distinct
     // dictionary probe: a member with ANY key absent from the corpus can
-    // never match (same early-out as searchCandidates)
-    val present: Set[Long] = TrigramIndex.readDictRaw(spark, dir)
-      .filter($"key".isin(allKeys: _*))
-      .select($"key").distinct().as[Long].collect().toSet
-    val viable = members.filter(_._2.forall(present))
+    // never match (same early-out as searchCandidates). Under the small-
+    // index floor the probe round-trip costs more than it prunes — skip it
+    // and keep every member: an absent key simply contributes no pairs, so
+    // the member never reaches nk >= req and the clause/doc aggregation
+    // below yields the identical result (same gate as searchCandidates).
+    val nRows = TrigramIndex.statsMerged(spark, dir).map(_.n_rows).getOrElse(Long.MaxValue)
+    val viable =
+      if (nRows != Long.MaxValue &&
+          allKeys.size.toLong * nRows <= TrigramIndex.SearchDirectFloor) members
+      else {
+        val present: Set[Long] = TrigramIndex.readDictRaw(spark, dir)
+          .filter($"key".isin(allKeys: _*))
+          .select($"key").distinct().as[Long].collect().toSet
+        members.filter(_._2.forall(present))
+      }
     val liveClauses = viable.map(_._1 >> 16).distinct
     if (liveClauses.size < clauses.size) // some clause wholly absent -> AND empty
       return spark.emptyDataset[Long].toDF("doc_id")

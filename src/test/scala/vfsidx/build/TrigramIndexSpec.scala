@@ -71,6 +71,19 @@ class TrigramIndexSpec extends SparkTestBase {
       assert(indexed(needle) == scanned(needle), s"needle '$needle'")
   }
 
+  test("pruned candidates (directFloor=0) == direct candidates (default floor)") {
+    // the round-6 small-index gate picks between two exact paths: the
+    // dictionary-probe + rarest-ranges pruned plan and the direct decode.
+    // Both must yield the same candidate sets (and match the scan truth).
+    for (needle <- Seq("the batch", "merge", "data query", "鬼滅の", "zzz_nowhere")) {
+      val pruned = TrigramIndex.searchCandidates(spark, triDir, needle, directFloor = 0L)
+        .as[Long].collect().sorted.toSeq
+      val direct = TrigramIndex.searchCandidates(spark, triDir, needle)
+        .as[Long].collect().sorted.toSeq
+      assert(pruned == direct, s"needle '$needle'")
+    }
+  }
+
   test("indexed substring search == full-scan contains on Japanese needles") {
     for (needle <- Seq("鬼滅の", "日本の", "戦国時代", "警視庁 日本"))
       assert(indexed(needle) == scanned(needle), s"needle '$needle'")
@@ -141,6 +154,18 @@ class TrigramIndexSpec extends SparkTestBase {
       val got = TrigramIndex.nears(spark, triDir, needle, k, prunedFloor = 0L)
         .as[(Long, Long)].collect().toSeq
       assert(got == bruteNears(needle, k), s"rep $i needle '$needle' k=$k")
+    }
+  }
+
+  test("nears iteration-cap fallback stays exact (bounded convergence jobs)") {
+    // maxIters=1 trips the round-6 convergence cap on needles that need a
+    // second growth round — the fallback is the full decode, identical rows
+    for ((needle, k) <- Seq(("merge the data", 3), ("index merge search", 25),
+        ("the data query record", 5))) {
+      val got = TrigramIndex.nears(spark, triDir, needle, k,
+        prunedFloor = 0L, maxIters = 1)
+        .as[(Long, Long)].collect().toSeq
+      assert(got == bruteNears(needle, k), s"needle '$needle' k=$k")
     }
   }
 

@@ -21,7 +21,10 @@ class Bm25Spec extends SparkTestBase {
         saltThreshold = 300, shardSize = 256))
     d
   }
-  private lazy val index = new Bm25Index(spark, dir)
+  // directFloor = 0 keeps the PRUNED (MaxScore / ranges) paths exercised at
+  // this test scale — the default floor would short-circuit them on a
+  // 1200-doc corpus; the default-floor direct path gets its own test below
+  private lazy val index = new Bm25Index(spark, dir, directFloor = 0L)
 
   private def rows(df: DataFrame): Seq[(Long, Double)] =
     df.as[(Long, Double)].collect().toSeq
@@ -149,6 +152,19 @@ class Bm25Spec extends SparkTestBase {
     // absent term -> (0, null, null)
     val e = index.countFirstLastAnd("the zzqqxxyy_absent").head()
     assert(e.getLong(0) == 0L && e.isNullAt(1) && e.isNullAt(2))
+  }
+
+  test("small-index direct path (default floor) is rank-identical to the pruned path") {
+    // the DEFAULT directFloor short-circuits the pruning round-trips on an
+    // index this small — same ranks, fewer driver jobs (round-6 cost gate)
+    val direct = new Bm25Index(spark, dir)
+    for (q <- Seq("index merge search", "needle_5 needle_800 the", "the int",
+        "merge query")) {
+      assert(rows(direct.topKOr(q, 10)) == rows(index.topKOr(q, 10)), s"OR: $q")
+      assert(rows(direct.topKAnd(q, 10)) == rows(index.topKAnd(q, 10)), s"AND: $q")
+      assert(direct.countFirstLastAnd(q).collect().toSeq ==
+        index.countFirstLastAnd(q).collect().toSeq, s"CFL: $q")
+    }
   }
 
   test("merge-on-search: many-generation index folds at query time, results identical") {
