@@ -193,10 +193,31 @@ object Tokenizer {
     out.result()
   }
 
-  /** Word shingles for near-dup detection (n consecutive whitespace tokens). */
+  private val Whitespace = java.util.regex.Pattern.compile("\\s+")
+
+  /** Word shingles for near-dup detection (n consecutive whitespace tokens).
+    * Hot path of the MinHash/Jaccard dedup operators — the pattern is
+    * compiled ONCE (String.split("\\s+") re-compiles the regex per row) and
+    * each shingle builds through one StringBuilder instead of a
+    * slice+mkString collection round-trip. Output identical. */
   def shingles(text: String, n: Int): Seq[String] = {
-    val ws = text.split("\\s+").filter(_.nonEmpty)
+    val ws = Whitespace.split(text).filter(_.nonEmpty)
     if (ws.length < n) Seq.empty
-    else (0 to ws.length - n).map(i => ws.slice(i, i + n).mkString(" "))
+    else {
+      val out = new Array[String](ws.length - n + 1)
+      var i = 0
+      while (i <= ws.length - n) {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(ws(i + j))
+          j += 1
+        }
+        out(i) = sb.toString
+        i += 1
+      }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+    }
   }
 }
