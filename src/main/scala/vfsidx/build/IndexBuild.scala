@@ -491,12 +491,17 @@ object IndexBuild {
               // column predicate (not a closure) so a parquet-backed corpus
               // gets min/max row-group pruning on doc_id
               val batchDocs = docs.filter($"doc_id" >= lo && $"doc_id" < hi).as[SourceFile]
-              TableIO.write(chunkRuns(batchDocs, cfg.shardSize * 1024), rDir)
-              // postings count + tf sum off the tiny chunk metadata in one
-              // job, no data scan
-              val (nPost, tfSum) = spark.read.parquet(rDir)
-                .agg(coalesce(sum($"count"), lit(0L)), coalesce(sum($"tf_sum"), lit(0L)))
-                .as[(Long, Long)].head()
+              // postings count + tf sum OBSERVED on the write itself
+              // (accumulator-backed, exactly-once per completed action) —
+              // no post-write metadata job at all
+              val obs = new org.apache.spark.sql.Observation(s"runs_b$b")
+              TableIO.write(
+                chunkRuns(batchDocs, cfg.shardSize * 1024).observe(obs,
+                  coalesce(sum($"count"), lit(0L)).as("np"),
+                  coalesce(sum($"tf_sum"), lit(0L)).as("tf")),
+                rDir)
+              val m = obs.get
+              val (nPost, tfSum) = (m("np").asInstanceOf[Long], m("tf").asInstanceOf[Long])
               batchTfSums.put(b, tfSum)
               LineageRow("runs", "", b, "", "", hi - lo, nPost, 0L,
                 System.currentTimeMillis() - t0)
@@ -800,12 +805,17 @@ object IndexBuild {
     var knownTfSum: Option[Long] = None
     if (!TableIO.done(spark, rDir)) {
       val t0 = System.currentTimeMillis()
-      TableIO.write(chunkRuns(newDocs, cfg.shardSize * 1024), rDir)
-      // one metadata agg yields the lineage posting count AND the
-      // generation's tf_sum (its stats stage then skips its own agg job)
-      val (nPost, tfSum) = spark.read.parquet(rDir)
-        .agg(coalesce(sum($"count"), lit(0L)), coalesce(sum($"tf_sum"), lit(0L)))
-        .as[(Long, Long)].head()
+      // lineage posting count + the generation's tf_sum observed on the
+      // write action itself — zero post-write jobs (the stats stage then
+      // also skips its own agg)
+      val obs = new org.apache.spark.sql.Observation(s"runs_ingest_$batchId")
+      TableIO.write(
+        chunkRuns(newDocs, cfg.shardSize * 1024).observe(obs,
+          coalesce(sum($"count"), lit(0L)).as("np"),
+          coalesce(sum($"tf_sum"), lit(0L)).as("tf")),
+        rDir)
+      val m = obs.get
+      val (nPost, tfSum) = (m("np").asInstanceOf[Long], m("tf").asInstanceOf[Long])
       knownTfSum = Some(tfSum)
       lineage += LineageRow("runs", "", batchId, "", "", nNew, nPost, 0L,
         System.currentTimeMillis() - t0)
