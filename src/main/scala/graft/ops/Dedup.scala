@@ -114,15 +114,26 @@ object Dedup {
     val bands = sig
       .select($"doc_id", explode(array(bandCols: _*)).as("bv"))
       .select($"doc_id", $"bv.band", $"bv.bkey")
+    // Candidate pairs WITHOUT a self-join: cap each (band, bkey) bucket to
+    // its BandCap lowest doc_ids (row_number, as before), then collect the
+    // capped bucket — ≤ BandCap ids, so the agg buffer is memory-bounded —
+    // in an aggregation that REUSES the window's (band, bkey) partitioning
+    // (no new exchange), and enumerate the i<j pairs from the sorted array
+    // with codegen'd higher-order functions. The former capped⋈capped
+    // self-join consumed the capped subtree twice and built the exact same
+    // pair set through a join operator.
     val capped = bands
       .withColumn("rn", row_number().over(
         Window.partitionBy($"band", $"bkey").orderBy($"doc_id")))
       .filter($"rn" <= BandCap)
-      .select($"doc_id", $"band", $"bkey")
-    val cand = capped.as("a").join(capped.as("b"),
-        $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
-          $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+    val cand = capped
+      .groupBy($"band", $"bkey")
+      .agg(sort_array(collect_list($"doc_id")).as("ds"))
+      .filter(size($"ds") >= 2)
+      .select(explode(expr(
+        "flatten(transform(ds, (x, i) -> " +
+          "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))")).as("p"))
+      .select($"p.d1", $"p.d2")
       .distinct()
     // verify candidates with exact Jaccard over candidate docs' shingles
     // only — a semi-join prune (AQE broadcasts it when small; an explicit

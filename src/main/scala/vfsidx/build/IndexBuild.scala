@@ -417,6 +417,37 @@ object IndexBuild {
       .as[CorpusStats]
   }
 
+  /** Row count WITHOUT a Spark job when the dataset is a bare file-source
+    * leaf scan over parquet (no filter/project above the relation): the sum
+    * of the parquet footers' row-group counts — exact, the very numbers a
+    * count() job would aggregate, read driver-side in O(files) footer
+    * fetches. Any other plan shape (a filtered slice, a non-parquet or
+    * in-memory source) falls back to a regular count() job. The build paths
+    * call this for their batch-boundary / stats counts, where the input is
+    * typically a freshly-materialized corpus table. */
+  private[build] def fastCount(ds: Dataset[_]): Long = {
+    val plan = ds.queryExecution.analyzed
+    // bare leaf = the analyzed plan IS its only leaf (nothing above it)
+    val bare = plan.collectLeaves() match {
+      case Seq(l) => plan eq l
+      case _ => false
+    }
+    if (!bare) return ds.count()
+    val files = ds.inputFiles
+    if (files.isEmpty || !files.forall(_.endsWith(".parquet"))) return ds.count()
+    try {
+      val conf = ds.sparkSession.sparkContext.hadoopConfiguration
+      import scala.jdk.CollectionConverters._
+      files.iterator.map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRowGroups.asScala.map(_.getRowCount.toLong).sum
+        finally r.close()
+      }.sum
+    } catch { case scala.util.control.NonFatal(_) => ds.count() }
+  }
+
   def tokenize(docs: Dataset[SourceFile]): Dataset[Posting] = {
     import docs.sparkSession.implicits._
     docs.flatMap { d =>
@@ -445,7 +476,7 @@ object IndexBuild {
             cfg: BuildConfig = BuildConfig()): Unit = {
     import spark.implicits._
 
-    val nDocs = timed("count")(docs.count())
+    val nDocs = timed("count")(fastCount(docs))
     val perBatch = math.max(1L, (nDocs + cfg.numBatches - 1) / cfg.numBatches)
     // lineage rows for work done by THIS invocation, flushed in one append
     // at the end (one tiny job instead of one per unit; resume keys off the
@@ -566,17 +597,24 @@ object IndexBuild {
     // Stats FIRST: avgdl feeds the merge's block-max bounds. avgdl ==
     // sum(tf)/N because sum(dl over docs) == sum(tf over postings), and
     // sum(tf) comes off the tiny per-chunk metadata — never a postings scan.
+    // The VALUE is computed here (it gates the segment merge); the 1-row
+    // parquet WRITE is deferred to the concurrent side pool below, and the
+    // former write-then-read-back job is gone (the in-memory value IS what
+    // gets written; a resume with the stats already committed reads it back).
     val sDir = statsGenDir(dir, lo, hi)
-    if (!TableIO.done(spark, sDir)) timed(s"stats:$gen") {
-      // Σtf arrives pre-computed from the caller when it already aggregated
-      // the same chunk metadata (stage-1 lineage agg / folded gens' stats);
-      // only resumes with unknown provenance pay the chunks agg job here
-      val tfSum = knownTfSum.getOrElse(
-        chunks.agg(coalesce(sum($"tf_sum"), lit(0L))).as[Long].head())
-      TableIO.write(Seq(CorpusStats(nDocs, tfSum,
-        if (nDocs == 0) 0.0 else tfSum.toDouble / nDocs)).toDF(), sDir)
+    val needStats = !TableIO.done(spark, sDir)
+    val stats: CorpusStats =
+      if (needStats) {
+        // Σtf arrives pre-computed from the caller when it already aggregated
+        // the same chunk metadata (stage-1 lineage agg / folded gens' stats);
+        // only resumes with unknown provenance pay the chunks agg job here
+        val tfSum = knownTfSum.getOrElse(
+          chunks.agg(coalesce(sum($"tf_sum"), lit(0L))).as[Long].head())
+        CorpusStats(nDocs, tfSum, if (nDocs == 0) 0.0 else tfSum.toDouble / nDocs)
+      } else spark.read.parquet(sDir).as[CorpusStats].head()
+    def writeStats(): Unit = timed(s"stats:$gen") {
+      TableIO.write(Seq(stats).toDF(), sDir)
     }
-    val stats = spark.read.parquet(sDir).as[CorpusStats].head()
 
     // ---- the one data shuffle: SPIMI merge of this generation's chunks ----
     val segDir = segmentsGenDir(dir, lo, hi)
@@ -587,7 +625,8 @@ object IndexBuild {
     // the dict job independent of the segments job, so the two run
     // CONCURRENTLY (guide §2.6: overlap independent jobs — the dict's small
     // agg back-fills executors the segment shuffle's stage gaps leave idle)
-    // instead of the dict serializing behind the segment commit.
+    // instead of the dict serializing behind the segment commit. The stats
+    // write (tiny, independent) rides the same pool.
     val dDir = dictGenDir(dir, lo, hi)
     val needDict = !TableIO.done(spark, dDir)
     def writeDict(): Unit = timed(s"dict:$gen") {
@@ -596,17 +635,20 @@ object IndexBuild {
           .agg(sum($"count").cast("long").as("df"), sum($"tf_sum").as("tf_sum")),
         dDir)
     }
-    val dictPool =
-      if (needDict && !TableIO.done(spark, segDir))
-        Some(java.util.concurrent.Executors.newSingleThreadExecutor())
+    val needSegs = !TableIO.done(spark, segDir)
+    val sideJobs: Seq[() => Unit] =
+      (if (needDict) Seq(() => writeDict()) else Nil) ++
+        (if (needStats) Seq(() => writeStats()) else Nil)
+    val sidePool =
+      if (needSegs && sideJobs.nonEmpty)
+        Some(java.util.concurrent.Executors.newFixedThreadPool(sideJobs.size))
       else None
-    val dictFuture = dictPool.map(_.submit(new java.util.concurrent.Callable[Unit] {
-      def call(): Unit = writeDict()
-    }))
+    val sideFutures = sidePool.toSeq.flatMap(p => sideJobs.map(f =>
+      p.submit(new java.util.concurrent.Callable[Unit] { def call(): Unit = f() })))
 
-    // a segments failure must still reap the concurrent dict thread (the
+    // a segments failure must still reap the concurrent side threads (the
     // generation stays uncommitted either way — resume redoes the rest)
-    try if (!TableIO.done(spark, segDir)) timed(s"segments:$gen") {
+    try if (needSegs) timed(s"segments:$gen") {
       val t0 = System.currentTimeMillis()
       // HASH partition on (term, pre_shard) — not range: range partitioning
       // needs an extra sampling pass, and lexicographically adjacent term
@@ -630,33 +672,33 @@ object IndexBuild {
       val salt = cfg.saltThreshold
       val shardSize = cfg.shardSize
       val avgdl = stats.avgdl
+      // per-bucket lineage observed ON the write action via a last-write-wins
+      // per-partition accumulator ([[Spimi.BucketStatsAcc]]) — the former
+      // post-write groupBy(bucket) re-read the entire freshly-written
+      // segments table (postings column included) for ~numBuckets audit rows
+      val acc = new Spimi.BucketStatsAcc
+      spark.sparkContext.register(acc, s"segstats:$gen")
       val segs = chunks
         .withColumn("term_hash", xxhash64($"term"))
         .repartition(cfg.numBuckets, $"term_hash", $"pre_shard")
         .sortWithinPartitions($"term_hash", $"pre_shard", $"term", $"first_doc")
         .select($"term", $"pre_shard", $"first_doc", $"last_doc", $"count", $"tf_sum", $"bytes")
         .as[(String, Long, Long, Long, Int, Long, Array[Byte])]
-        .mapPartitions(it => mergeChunks(it, salt, shardSize, avgdl))
+        .mapPartitions(it => Spimi.observeBuckets(
+          mergeChunks(it, salt, shardSize, avgdl), acc)(
+          _.term, _.count.toLong, _.postings.length.toLong))
       TableIO.write(segs.toDF(), segDir)
 
-      lineage ++= spark.read.parquet(segDir)
-        .groupBy($"bucket")
-        .agg(min($"term").as("tf_"), max($"term").as("tl_"),
-          sum($"count").as("np"), sum(length($"postings")).as("bytes"))
-        .as[(Int, String, String, Long, Long)]
-        .collect()
-        .map { case (pid, tf_, tl_, np, bytes) =>
-          LineageRow("segments", gen, pid, tf_, tl_, 0L, np, bytes,
-            System.currentTimeMillis() - t0)
-        }
-    } finally dictPool.foreach(_.shutdown())
+      lineage ++= acc.value.toSeq.sortBy(_._1).map { case (pid, s) =>
+        LineageRow("segments", gen, pid, s.first, s.last, 0L, s.nPostings,
+          s.bytes, System.currentTimeMillis() - t0)
+      }
+    } finally sidePool.foreach(_.shutdown())
 
-    // join the concurrent dict job (or run it inline when the segments were
-    // already committed — a resume where only the dict is missing)
-    dictFuture match {
-      case Some(f) => f.get()
-      case None => if (needDict) writeDict()
-    }
+    // join the concurrent side jobs (or run them inline when the segments
+    // were already committed — a resume where only dict/stats are missing)
+    if (sidePool.isDefined) sideFutures.foreach(_.get())
+    else sideJobs.foreach(f => f())
   }
 
   /** Stage-1 unit: SPIMI chunk runs for one docs slice — tokenize straight
@@ -800,7 +842,7 @@ object IndexBuild {
       TableIO.done(spark, dictGenDir(dir, batchId, batchId)) &&
       TableIO.done(spark, statsGenDir(dir, batchId, batchId))
     if (TableIO.done(spark, rDir) && TableIO.done(spark, dsDir) && genDone) return
-    val nNew = newDocs.count()
+    val nNew = fastCount(newDocs)
     val lineage = scala.collection.mutable.ArrayBuffer[LineageRow]()
     var knownTfSum: Option[Long] = None
     if (!TableIO.done(spark, rDir)) {

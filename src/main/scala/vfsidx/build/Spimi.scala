@@ -122,4 +122,69 @@ private[build] object Spimi {
       i = j
     }
   }
+
+  /** Per-bucket lineage stats of one segment write: key range + posting and
+    * byte totals of the rows a shuffle partition emitted. */
+  final case class BucketStat(first: String, last: String, nPostings: Long, bytes: Long)
+
+  /** LAST-WRITE-WINS per-partition accumulator for [[BucketStat]]s, so the
+    * per-bucket lineage rows come off the segment WRITE action itself instead
+    * of a post-write re-read of the freshly-written segments (a full O(index)
+    * read whose only product was ~numBuckets audit rows). Exactness under
+    * task retry and speculation: a partition's content is a deterministic
+    * function of the hash-partitioned, sorted shuffle input, so a duplicate
+    * attempt re-puts the identical value — keyed replacement can never
+    * double-count the way an additive accumulator would. */
+  final class BucketStatsAcc
+      extends org.apache.spark.util.AccumulatorV2[(Int, BucketStat), Map[Int, BucketStat]] {
+    private val m = new java.util.concurrent.ConcurrentHashMap[Int, BucketStat]()
+    override def isZero: Boolean = m.isEmpty
+    override def copy(): BucketStatsAcc = {
+      val a = new BucketStatsAcc; a.m.putAll(m); a
+    }
+    override def reset(): Unit = m.clear()
+    override def add(v: (Int, BucketStat)): Unit = m.put(v._1, v._2)
+    override def merge(
+        other: org.apache.spark.util.AccumulatorV2[(Int, BucketStat), Map[Int, BucketStat]]): Unit =
+      other.value.foreach { case (k, v) => m.put(k, v) }
+    override def value: Map[Int, BucketStat] = {
+      import scala.jdk.CollectionConverters._
+      m.asScala.toMap
+    }
+  }
+
+  /** Pass-through iterator that folds each emitted segment row into this
+    * partition's [[BucketStat]] and registers it in `acc` once the stream is
+    * exhausted (empty partitions register nothing — same as the former
+    * groupBy(bucket), which had no row for an empty bucket). Key min/max use
+    * [[String]] ordering — identical to the former UTF8String min/max for the
+    * fixed-width hex keys and for all BMP text (they can differ only on
+    * supplementary-plane characters, an audit-trail nuance, not query data). */
+  def observeBuckets[R](it: Iterator[R], acc: BucketStatsAcc)(
+      key: R => String, np: R => Long, bytes: R => Long): Iterator[R] =
+    new Iterator[R] {
+      private val pid = org.apache.spark.TaskContext.getPartitionId()
+      private var first: String = null
+      private var last: String = null
+      private var n = 0L
+      private var b = 0L
+      private var flushed = false
+      def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h && !flushed) {
+          if (first != null) acc.add((pid, BucketStat(first, last, n, b)))
+          flushed = true
+        }
+        h
+      }
+      def next(): R = {
+        val r = it.next()
+        val k = key(r)
+        if (first == null || k < first) first = k
+        if (last == null || k > last) last = k
+        n += np(r)
+        b += bytes(r)
+        r
+      }
+    }
 }

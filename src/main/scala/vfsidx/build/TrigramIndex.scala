@@ -344,8 +344,8 @@ object TrigramIndex {
     }
 
     val stDir = statsGenDir(dir, lo, hi)
-    if (force || !TableIO.done(spark, stDir)) {
-      runs // force the runs-format gate BEFORE the generation's first write
+    val needStats = force || !TableIO.done(spark, stDir)
+    def writeStats(): Unit = timed(s"tri_stats:$gen") {
       TableIO.write(Seq(TriStats(nRows, maxDocId)).toDF(), stDir)
     }
 
@@ -354,7 +354,8 @@ object TrigramIndex {
     // == df exactly (each (key, doc) posting lives in exactly one chunk) —
     // identical values to the former segment-metadata derivation, but
     // INDEPENDENT of the segments job, so the two run concurrently (guide
-    // §2.6) instead of the dict serializing behind the segment commit.
+    // §2.6) instead of the dict serializing behind the segment commit. The
+    // tiny stats write rides the same pool.
     val dDir = dictGenDir(dir, lo, hi)
     val needDict = force || !TableIO.done(spark, dDir)
     def writeDict(): Unit = timed(s"tri_dict:$gen") {
@@ -362,13 +363,17 @@ object TrigramIndex {
         runs.groupBy($"key").agg(sum($"count").cast("long").as("df")), dDir)
     }
     val needSegs = force || !TableIO.done(spark, segDir)
-    val dictPool =
-      if (needDict && needSegs)
-        Some(java.util.concurrent.Executors.newSingleThreadExecutor())
+    // force the runs-format gate BEFORE the generation's first write
+    if (needStats || needDict || needSegs) runs
+    val sideJobs: Seq[() => Unit] =
+      (if (needDict) Seq(() => writeDict()) else Nil) ++
+        (if (needStats) Seq(() => writeStats()) else Nil)
+    val sidePool =
+      if (needSegs && sideJobs.nonEmpty)
+        Some(java.util.concurrent.Executors.newFixedThreadPool(sideJobs.size))
       else None
-    val dictFuture = dictPool.map(_.submit(new java.util.concurrent.Callable[Unit] {
-      def call(): Unit = writeDict()
-    }))
+    val sideFutures = sidePool.toSeq.flatMap(p => sideJobs.map(f =>
+      p.submit(new java.util.concurrent.Callable[Unit] { def call(): Unit = f() })))
 
     try if (needSegs) timed(s"tri_segments:$gen") {
       val t0 = System.currentTimeMillis()
@@ -386,33 +391,33 @@ object TrigramIndex {
       // derive from the OUTPUT below instead of a second full runs scan).
       val salt = cfg.saltThreshold
       val shardSz = cfg.shardSize
+      // per-partition lineage (north_rule) observed ON the write action via
+      // a last-write-wins per-partition accumulator — the former post-write
+      // groupBy(bucket) re-read the whole freshly-written segments table
+      // (postings included) for ~numBuckets audit rows. Keys are formatted
+      // as fixed-width hex up front (the reference's filename key-range
+      // form), so String min/max ordering is exact.
+      val acc = new Spimi.BucketStatsAcc
+      spark.sparkContext.register(acc, s"tri_segstats:$gen")
       val segs = runs
         .repartition(cfg.numBuckets, $"key", $"pre_shard")
         .sortWithinPartitions($"key", $"pre_shard", $"first_doc")
         .as[(Long, Long, Long, Long, Int, Array[Byte])]
-        .mapPartitions(it => mergeChunks(it, salt, shardSz))
+        .mapPartitions(it => Spimi.observeBuckets(
+          mergeChunks(it, salt, shardSz), acc)(
+          r => f"${r.key}%012x", _.count.toLong, _.postings.length.toLong))
       TableIO.write(segs.toDF(), segDir)
 
-      // per-partition lineage (north_rule): segment id, key range (hex —
-      // the reference's filename key-range form), postings, bytes, elapsed
-      val lin = spark.read.parquet(segDir)
-        .groupBy($"bucket")
-        .agg(min($"key").as("kf"), max($"key").as("kl"),
-          sum($"count").as("np"), sum(length($"postings")).as("bytes"))
-        .as[(Int, Long, Long, Long, Long)]
-        .collect()
-        .map { case (pid, kf, kl, np, bytes) =>
-          LineageRow("tri_segments", gen, pid, f"$kf%012x", f"$kl%012x",
-            0L, np, bytes, System.currentTimeMillis() - t0)
-        }
+      val lin = acc.value.toSeq.sortBy(_._1).map { case (pid, s) =>
+        LineageRow("tri_segments", gen, pid, s.first, s.last,
+          0L, s.nPostings, s.bytes, System.currentTimeMillis() - t0)
+      }
       if (lin.nonEmpty)
         TableIO.append(spark.createDataset(lin.toIndexedSeq).toDF(), lineageDir(dir))
-    } finally dictPool.foreach(_.shutdown())
+    } finally sidePool.foreach(_.shutdown())
 
-    dictFuture match {
-      case Some(f) => f.get()
-      case None => if (needDict) writeDict()
-    }
+    if (sidePool.isDefined) sideFutures.foreach(_.get())
+    else sideJobs.foreach(f => f())
   }
 
   /** One map partition -> SPIMI chunks: accumulate per-key ascending id
