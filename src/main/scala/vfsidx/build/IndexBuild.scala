@@ -438,13 +438,21 @@ object IndexBuild {
     try {
       val conf = ds.sparkSession.sparkContext.hadoopConfiguration
       import scala.jdk.CollectionConverters._
-      files.iterator.map { f =>
+      def footerRows(f: String): Long = {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(f), conf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try r.getRowGroups.asScala.map(_.getRowCount.toLong).sum
         finally r.close()
-      }.sum
+      }
+      // footer fetches are independent metadata reads — a small pool hides
+      // their per-file open latency (files can number in the hundreds)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(8, files.length)))
+      try files.map(f => pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = footerRows(f)
+      })).map(_.get()).sum
+      finally pool.shutdown()
     } catch { case scala.util.control.NonFatal(_) => ds.count() }
   }
 
