@@ -161,21 +161,26 @@ object IndexBuild {
     * `input_file_name` — one driver round-trip instead of one tiny job per
     * generation (the compaction policies call this on every trigger; at a
     * production generation count the N-job version is pure scheduling
-    * overhead). Values per generation are SUMMED over its rows (each stats
-    * table holds one row, but multiple part files stay correct). */
+    * overhead). Returns the requested `columns` (cast to long) of every row
+    * per generation; callers fold (sum / max / forall) as their stat's
+    * semantics demand. Fetching every column a policy AND its fold need in
+    * the one job lets the fold skip its own stats job entirely. */
   private[build] def statPerGen(spark: SparkSession, dirs: Seq[(Int, Int) => String],
-                                gens: Seq[(Int, Int)], column: String): Map[(Int, Int), Long] = {
+                                gens: Seq[(Int, Int)],
+                                columns: Seq[String]): Map[(Int, Int), Seq[Array[Long]]] = {
     import spark.implicits._
     spark.read.parquet(gens.flatMap(g => dirs.map(_(g._1, g._2))): _*)
-      .select(input_file_name().as("f"), col(column).cast("long"))
-      .as[(String, Long)].collect()
+      .select(input_file_name().as("f"),
+        array(columns.map(c => col(c).cast("long")): _*).as("vals"))
+      .as[(String, Seq[Long])]
+      .collect()
       .groupBy { case (f, _) =>
         genRe.findFirstMatchIn(f) match {
           case Some(m) => (m.group(1).toInt, m.group(2).toInt)
           case None => throw new IllegalStateException(s"no gen= in stats path $f")
         }
       }
-      .map { case (g, rows) => g -> rows.map(_._2).sum }
+      .map { case (g, rows) => g -> rows.toSeq.map(_._2.toArray) }
   }
 
   /** Generation-listing machinery shared by the word and trigram indexes
@@ -900,7 +905,8 @@ object IndexBuild {
     * point: before commit they see the old generations; after commit
     * [[generations]] hides the contained inputs. */
   private def fold(spark: SparkSession, dir: String, gens: Seq[(Int, Int)],
-                   cfg: BuildConfig): Unit = {
+                   cfg: BuildConfig,
+                   knownTotals: Option[(Long, Long)] = None): Unit = {
     import spark.implicits._
     require(gens.size >= 2, "fold needs at least two generations")
     // The fold window must be CONTIGUOUSLY covered: a gap in [min, max] is a
@@ -920,11 +926,12 @@ object IndexBuild {
     }
     val batches = gens.flatMap { case (l, h) => l to h }
     // n_docs AND tf_sum are additive across the folded generations, so the
-    // combined stats come off the inputs' stats rows in this one tiny job —
-    // the fold's stats stage then skips its own chunks agg
-    val (nDocs, tfSum) = spark.read
+    // combined stats come off the inputs' stats rows — pre-computed by the
+    // tiered policy's one statPerGen job when it chose this window, or one
+    // tiny job here for direct callers (compactTail / remerge)
+    val (nDocs, tfSum) = knownTotals.getOrElse(spark.read
       .parquet(gens.map { case (l, h) => statsGenDir(dir, l, h) }: _*)
-      .agg(sum($"n_docs"), sum($"tf_sum")).as[(Long, Long)].head()
+      .agg(sum($"n_docs"), sum($"tf_sum")).as[(Long, Long)].head())
     val lineage = scala.collection.mutable.ArrayBuffer[LineageRow]()
     buildGeneration(spark, dir, batches, nDocs, cfg, lineage, Some(tfSum))
     // the folded inputs are NOT deleted here: once the combined generation
@@ -935,11 +942,13 @@ object IndexBuild {
       TableIO.append(spark.createDataset(lineage.toSeq).toDF(), lineageDir(dir))
   }
 
-  /** Per-generation doc counts — the size measure for tiered compaction.
-    * ONE job across all generations ([[statPerGen]]). */
-  private def genSizes(spark: SparkSession, dir: String,
-                       gens: Seq[(Int, Int)]): Map[(Int, Int), Long] =
-    statPerGen(spark, Seq(statsGenDir(dir, _, _)), gens, "n_docs")
+  /** Per-generation (n_docs, tf_sum) — the size measure for tiered
+    * compaction PLUS the additive totals its fold needs, in ONE job across
+    * all generations ([[statPerGen]]). */
+  private def genStats(spark: SparkSession, dir: String,
+                       gens: Seq[(Int, Int)]): Map[(Int, Int), (Long, Long)] =
+    statPerGen(spark, Seq(statsGenDir(dir, _, _)), gens, Seq("n_docs", "tf_sum"))
+      .map { case (g, rows) => g -> (rows.map(_(0)).sum, rows.map(_(1)).sum) }
 
   /** SIZE-TIERED bounded compaction — the refresh/stream auto-fold policy
     * (the reference's accumulated-write-file merge with a work bound
@@ -957,11 +966,12 @@ object IndexBuild {
     val gens = generations(spark, dir)
     if (gens.size <= cfg.maxGenerations) false
     else {
-      val sizes = genSizes(spark, dir, gens)
-      GenListing.pickTieredWindow(GenListing.contiguousGroups(gens), sizes,
+      val st = genStats(spark, dir, gens)
+      GenListing.pickTieredWindow(GenListing.contiguousGroups(gens), st(_)._1,
         cfg.tierFanout, cfg.maxFoldDocs) match {
         case Some(win) =>
-          fold(spark, dir, win, cfg)
+          fold(spark, dir, win, cfg,
+            Some((win.map(st(_)._1).sum, win.map(st(_)._2).sum)))
           // reclaim=false is for callers serving CONCURRENT readers (the
           // refresh/stream policies), which vacuum on their own later schedule
           if (reclaim) vacuum(spark, dir)

@@ -164,7 +164,8 @@ object NumericIndex {
     * projections into one combined generation (inputs retired via the
     * containment rule, reclaimed by [[vacuum]] later). */
   private def fold(spark: SparkSession, root: String, column: String,
-                   gens: Seq[(Int, Int)], numBuckets: Int): Unit = {
+                   gens: Seq[(Int, Int)], numBuckets: Int,
+                   knownIntegral: Option[Boolean] = None): Unit = {
     import spark.implicits._
     require(gens.size >= 2, "fold needs at least two generations")
     gens.sliding(2).foreach {
@@ -173,9 +174,11 @@ object NumericIndex {
           s"numeric fold window spans a coverage gap between $h1 and $l2")
       case _ => ()
     }
-    val integral = spark.read
+    // pre-computed by the tiered policy's one statPerGen job, or one tiny
+    // job here for direct callers
+    val integral = knownIntegral.getOrElse(spark.read
       .parquet(gens.map { case (l, h) => statsGenDir(root, column, l, h) }: _*)
-      .as[NumStats].collect().forall(_.integral)
+      .as[NumStats].collect().forall(_.integral))
     val data = spark.read
       .parquet(gens.map { case (l, h) => dataGenDir(root, column, l, h) }: _*)
     buildGeneration(spark, data, integral, root, column,
@@ -192,13 +195,17 @@ object NumericIndex {
     val gens = generations(spark, root, column)
     if (gens.size <= maxGenerations) false
     else {
-      // one job across all generations' stats (IndexBuild.statPerGen)
-      val sizes = IndexBuild.statPerGen(
-        spark, Seq(statsGenDir(root, column, _, _)), gens, "n_rows")
-      GenListing.pickTieredWindow(GenListing.contiguousGroups(gens), sizes,
+      // one job across all generations' stats (IndexBuild.statPerGen):
+      // sizes for the window choice AND the fold's integral flag together
+      val st = IndexBuild.statPerGen(
+        spark, Seq(statsGenDir(root, column, _, _)), gens,
+        Seq("n_rows", "integral"))
+        .map { case (g, rows) => g -> (rows.map(_(0)).sum, rows.forall(_(1) != 0L)) }
+      GenListing.pickTieredWindow(GenListing.contiguousGroups(gens), st(_)._1,
         tierFanout, maxFoldDocs) match {
         case Some(win) =>
-          fold(spark, root, column, win, numBuckets)
+          fold(spark, root, column, win, numBuckets,
+            Some(win.forall(st(_)._2)))
           if (reclaim) vacuum(spark, root, column)
           true
         case None => false

@@ -245,7 +245,8 @@ object TrigramIndex {
     * the combined generation commits ([[generations]] hides contained ranges
     * in the interim, so readers stay exact). */
   private def fold(spark: SparkSession, dir: String, gens: Seq[(Int, Int)],
-                   cfg: TriConfig): Unit = {
+                   cfg: TriConfig,
+                   knownTotals: Option[(Long, Long)] = None): Unit = {
     import spark.implicits._
     require(gens.size >= 2, "fold needs at least two generations")
     // contiguous coverage required — a gap is a reserved-but-unsealed slot
@@ -256,20 +257,27 @@ object TrigramIndex {
           s"trigram fold window spans a coverage gap between $h1 and $l2")
       case _ => ()
     }
-    val st = spark.read
-      .parquet(gens.map { case (l, h) => statsGenDir(dir, l, h) }: _*)
-      .as[TriStats].collect()
+    // (Σ n_rows, max max_doc_id) — pre-computed by the tiered policy's one
+    // statPerGen job, or one tiny job here for direct callers
+    val (nRows, maxId) = knownTotals.getOrElse {
+      val st = spark.read
+        .parquet(gens.map { case (l, h) => statsGenDir(dir, l, h) }: _*)
+        .as[TriStats].collect()
+      (st.map(_.n_rows).sum, if (st.isEmpty) -1L else st.map(_.max_doc_id).max)
+    }
     buildGeneration(spark, dir, gens.flatMap { case (l, h) => l to h }, cfg,
-      st.map(_.n_rows).sum, if (st.isEmpty) -1L else st.map(_.max_doc_id).max)
+      nRows, maxId)
     // inputs retired, not deleted — [[vacuum]] reclaims them after a grace
     // period so in-flight readers keep their files (see IndexBuild.fold)
   }
 
-  /** Per-generation sizes for the tiered policy — one job across all
-    * generations ([[IndexBuild.statPerGen]]). */
-  private def genSizes(spark: SparkSession, dir: String,
-                       gens: Seq[(Int, Int)]): Map[(Int, Int), Long] =
-    IndexBuild.statPerGen(spark, Seq(statsGenDir(dir, _, _)), gens, "n_rows")
+  /** Per-generation (n_rows, max_doc_id) for the tiered policy AND its
+    * fold — one job across all generations ([[IndexBuild.statPerGen]]). */
+  private def genStats(spark: SparkSession, dir: String,
+                       gens: Seq[(Int, Int)]): Map[(Int, Int), (Long, Long)] =
+    IndexBuild.statPerGen(spark, Seq(statsGenDir(dir, _, _)), gens,
+      Seq("n_rows", "max_doc_id"))
+      .map { case (g, rows) => g -> (rows.map(_(0)).sum, rows.map(_(1)).max) }
 
   /** Size-tiered bounded compaction — same policy as
     * [[IndexBuild.compactTiered]]: above `maxGenerations` survivors, fold
@@ -280,12 +288,13 @@ object TrigramIndex {
     val gens = generations(spark, dir)
     if (gens.size <= cfg.maxGenerations) false
     else {
-      val sizes = genSizes(spark, dir, gens)
+      val st = genStats(spark, dir, gens)
       IndexBuild.GenListing.pickTieredWindow(
-        IndexBuild.GenListing.contiguousGroups(gens), sizes, cfg.tierFanout,
+        IndexBuild.GenListing.contiguousGroups(gens), st(_)._1, cfg.tierFanout,
         cfg.maxFoldDocs) match {
         case Some(win) =>
-          fold(spark, dir, win, cfg)
+          fold(spark, dir, win, cfg,
+            Some((win.map(st(_)._1).sum, win.map(st(_)._2).max)))
           if (reclaim) vacuum(spark, dir)
           true
         case None => false
