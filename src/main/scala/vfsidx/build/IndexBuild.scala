@@ -454,10 +454,13 @@ object IndexBuild {
       // their per-file open latency (files can number in the hundreds)
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.max(1, math.min(8, files.length)))
+      // shutdownNow, not shutdown: once one footer fails we fall back to a
+      // count() job — the remaining queued fetches are doomed work that
+      // would otherwise keep issuing I/O alongside the fallback
       try files.map(f => pool.submit(new java.util.concurrent.Callable[Long] {
         def call(): Long = footerRows(f)
       })).map(_.get()).sum
-      finally pool.shutdown()
+      finally pool.shutdownNow()
     } catch { case scala.util.control.NonFatal(_) => ds.count() }
   }
 
@@ -652,16 +655,8 @@ object IndexBuild {
     val sideJobs: Seq[() => Unit] =
       (if (needDict) Seq(() => writeDict()) else Nil) ++
         (if (needStats) Seq(() => writeStats()) else Nil)
-    val sidePool =
-      if (needSegs && sideJobs.nonEmpty)
-        Some(java.util.concurrent.Executors.newFixedThreadPool(sideJobs.size))
-      else None
-    val sideFutures = sidePool.toSeq.flatMap(p => sideJobs.map(f =>
-      p.submit(new java.util.concurrent.Callable[Unit] { def call(): Unit = f() })))
 
-    // a segments failure must still reap the concurrent side threads (the
-    // generation stays uncommitted either way — resume redoes the rest)
-    try if (needSegs) timed(s"segments:$gen") {
+    Spimi.withSideJobs(needSegs, sideJobs) { timed(s"segments:$gen") {
       val t0 = System.currentTimeMillis()
       // HASH partition on (term, pre_shard) — not range: range partitioning
       // needs an extra sampling pass, and lexicographically adjacent term
@@ -699,19 +694,14 @@ object IndexBuild {
         .as[(String, Long, Long, Long, Int, Long, Array[Byte])]
         .mapPartitions(it => Spimi.observeBuckets(
           mergeChunks(it, salt, shardSize, avgdl), acc)(
-          _.term, _.count.toLong, _.postings.length.toLong))
+          _.term, identity[String], _.count.toLong, _.postings.length.toLong))
       TableIO.write(segs.toDF(), segDir)
 
       lineage ++= acc.value.toSeq.sortBy(_._1).map { case (pid, s) =>
         LineageRow("segments", gen, pid, s.first, s.last, 0L, s.nPostings,
           s.bytes, System.currentTimeMillis() - t0)
       }
-    } finally sidePool.foreach(_.shutdown())
-
-    // join the concurrent side jobs (or run them inline when the segments
-    // were already committed — a resume where only dict/stats are missing)
-    if (sidePool.isDefined) sideFutures.foreach(_.get())
-    else sideJobs.foreach(f => f())
+    }}
   }
 
   /** Stage-1 unit: SPIMI chunk runs for one docs slice — tokenize straight

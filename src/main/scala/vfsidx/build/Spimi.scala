@@ -156,23 +156,30 @@ private[build] object Spimi {
   /** Pass-through iterator that folds each emitted segment row into this
     * partition's [[BucketStat]] and registers it in `acc` once the stream is
     * exhausted (empty partitions register nothing — same as the former
-    * groupBy(bucket), which had no row for an empty bucket). Key min/max use
-    * [[String]] ordering — identical to the former UTF8String min/max for the
-    * fixed-width hex keys and for all BMP text (they can differ only on
-    * supplementary-plane characters, an audit-trail nuance, not query data). */
-  def observeBuckets[R](it: Iterator[R], acc: BucketStatsAcc)(
-      key: R => String, np: R => Long, bytes: R => Long): Iterator[R] =
+    * groupBy(bucket), which had no row for an empty bucket). The key
+    * ordering is the CALLER's (`ord`): the trigram build compares raw Long
+    * keys — exactly the former numeric min($"key")/max($"key"), which a
+    * formatted-hex comparison would get wrong above 2^48 (supplementary-
+    * plane trigrams parse to 13-16 hex digits, so f"%012x" is variable-
+    * width) — and only formats the winners; the word build compares terms
+    * as Strings (UTF-16 order, vs the former UTF8String byte order — they
+    * differ only on supplementary-plane characters, an audit-trail nuance,
+    * not query data). */
+  def observeBuckets[R, K](it: Iterator[R], acc: BucketStatsAcc)(
+      key: R => K, fmt: K => String, np: R => Long, bytes: R => Long)(
+      implicit ord: Ordering[K]): Iterator[R] =
     new Iterator[R] {
       private val pid = org.apache.spark.TaskContext.getPartitionId()
-      private var first: String = null
-      private var last: String = null
+      private var hasAny = false
+      private var first: K = _
+      private var last: K = _
       private var n = 0L
       private var b = 0L
       private var flushed = false
       def hasNext: Boolean = {
         val h = it.hasNext
         if (!h && !flushed) {
-          if (first != null) acc.add((pid, BucketStat(first, last, n, b)))
+          if (hasAny) acc.add((pid, BucketStat(fmt(first), fmt(last), n, b)))
           flushed = true
         }
         h
@@ -180,11 +187,35 @@ private[build] object Spimi {
       def next(): R = {
         val r = it.next()
         val k = key(r)
-        if (first == null || k < first) first = k
-        if (last == null || k > last) last = k
+        if (!hasAny) { first = k; last = k; hasAny = true }
+        else {
+          if (ord.lt(k, first)) first = k
+          if (ord.gt(k, last)) last = k
+        }
         n += np(r)
         b += bytes(r)
         r
       }
     }
+
+  /** Run `main` while `sideJobs` (small independent Spark jobs: the
+    * generation's dictionary agg and 1-row stats write) execute on a
+    * concurrent pool, joining them afterwards — or run everything inline
+    * when there is no `main` work (a resume where only side tables are
+    * missing). A `main` failure still reaps the pool (the generation stays
+    * uncommitted either way — resume redoes the rest); side-job failures
+    * surface on join. Shared by the word and trigram buildGenerations so
+    * the concurrency/error contract cannot diverge between them. */
+  def withSideJobs(needMain: Boolean, sideJobs: Seq[() => Unit])(main: => Unit): Unit = {
+    val pool =
+      if (needMain && sideJobs.nonEmpty)
+        Some(java.util.concurrent.Executors.newFixedThreadPool(sideJobs.size))
+      else None
+    val futures = pool.toSeq.flatMap(p => sideJobs.map(f =>
+      p.submit(new java.util.concurrent.Callable[Unit] { def call(): Unit = f() })))
+    try if (needMain) main
+    finally pool.foreach(_.shutdown())
+    if (pool.isDefined) futures.foreach(_.get())
+    else sideJobs.foreach(f => f())
+  }
 }

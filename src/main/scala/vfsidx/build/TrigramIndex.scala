@@ -377,14 +377,8 @@ object TrigramIndex {
     val sideJobs: Seq[() => Unit] =
       (if (needDict) Seq(() => writeDict()) else Nil) ++
         (if (needStats) Seq(() => writeStats()) else Nil)
-    val sidePool =
-      if (needSegs && sideJobs.nonEmpty)
-        Some(java.util.concurrent.Executors.newFixedThreadPool(sideJobs.size))
-      else None
-    val sideFutures = sidePool.toSeq.flatMap(p => sideJobs.map(f =>
-      p.submit(new java.util.concurrent.Callable[Unit] { def call(): Unit = f() })))
 
-    try if (needSegs) timed(s"tri_segments:$gen") {
+    Spimi.withSideJobs(needSegs, sideJobs) { timed(s"tri_segments:$gen") {
       val t0 = System.currentTimeMillis()
       // SPIMI chunked merge (north_star: "per-partition posting lists ...
       // sort-merge them into a global segmented inverted index"): the map
@@ -403,9 +397,11 @@ object TrigramIndex {
       // per-partition lineage (north_rule) observed ON the write action via
       // a last-write-wins per-partition accumulator — the former post-write
       // groupBy(bucket) re-read the whole freshly-written segments table
-      // (postings included) for ~numBuckets audit rows. Keys are formatted
-      // as fixed-width hex up front (the reference's filename key-range
-      // form), so String min/max ordering is exact.
+      // (postings included) for ~numBuckets audit rows. Keys compare as raw
+      // LONGS (the former numeric min/max — a formatted-hex comparison
+      // would be wrong above 2^48, where supplementary-plane trigram keys
+      // format wider than 12 digits) and only the winners are hex-formatted
+      // (the reference's filename key-range form).
       val acc = new Spimi.BucketStatsAcc
       spark.sparkContext.register(acc, s"tri_segstats:$gen")
       val segs = runs
@@ -414,7 +410,7 @@ object TrigramIndex {
         .as[(Long, Long, Long, Long, Int, Array[Byte])]
         .mapPartitions(it => Spimi.observeBuckets(
           mergeChunks(it, salt, shardSz), acc)(
-          r => f"${r.key}%012x", _.count.toLong, _.postings.length.toLong))
+          _.key, (k: Long) => f"$k%012x", _.count.toLong, _.postings.length.toLong))
       TableIO.write(segs.toDF(), segDir)
 
       val lin = acc.value.toSeq.sortBy(_._1).map { case (pid, s) =>
@@ -423,10 +419,7 @@ object TrigramIndex {
       }
       if (lin.nonEmpty)
         TableIO.append(spark.createDataset(lin.toIndexedSeq).toDF(), lineageDir(dir))
-    } finally sidePool.foreach(_.shutdown())
-
-    if (sidePool.isDefined) sideFutures.foreach(_.get())
-    else sideJobs.foreach(f => f())
+    }}
   }
 
   /** One map partition -> SPIMI chunks: accumulate per-key ascending id
