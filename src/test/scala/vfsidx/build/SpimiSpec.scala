@@ -122,4 +122,44 @@ class SpimiSpec extends AnyFunSuite {
     assert(!none.hasNext)
     intercept[NoSuchElementException](none.next())
   }
+
+  test("observeBuckets: numeric key ordering above 2^48, totals, empty stream") {
+    // keys straddling 2^48: hex widths 12 and 13+ — numeric ordering must
+    // pick min/max by VALUE (a string compare would rank "1000000000000"
+    // below "f00000000000")
+    val rows = Seq(
+      (0xf00000000000L, 3L, 10L),   // 12 hex digits
+      (0x1000000000000L, 2L, 20L),  // 13 hex digits, numerically larger
+      (0x000000000abcL, 5L, 30L))
+    val acc = new Spimi.BucketStatsAcc
+    val out = Spimi.observeBuckets(rows.iterator, acc)(
+      _._1, (k: Long) => f"$k%012x", _._2, _._3).toList
+    assert(out == rows.toList) // pass-through, order preserved
+    val st = acc.value(org.apache.spark.TaskContext.getPartitionId())
+    assert(st.first == "000000000abc")
+    assert(st.last == "1000000000000")
+    assert(st.nPostings == 10L && st.bytes == 60L)
+
+    // empty stream registers nothing (matches the former groupBy(bucket))
+    val acc2 = new Spimi.BucketStatsAcc
+    assert(Spimi.observeBuckets(Iterator.empty[(Long, Long, Long)], acc2)(
+      _._1, (k: Long) => f"$k%012x", _._2, _._3).isEmpty)
+    assert(acc2.value.isEmpty)
+  }
+
+  test("BucketStatsAcc: keyed replacement, never additive (retry/speculation-safe)") {
+    val acc = new Spimi.BucketStatsAcc
+    acc.add((3, Spimi.BucketStat("a", "z", 100L, 1000L)))
+    // a speculative duplicate / stage-retry attempt re-puts the identical
+    // deterministic value — the entry must replace, not accumulate
+    acc.add((3, Spimi.BucketStat("a", "z", 100L, 1000L)))
+    assert(acc.value == Map(3 -> Spimi.BucketStat("a", "z", 100L, 1000L)))
+    // driver-side merge of task copies is also keyed replacement
+    val other = new Spimi.BucketStatsAcc
+    other.add((3, Spimi.BucketStat("a", "z", 100L, 1000L)))
+    other.add((4, Spimi.BucketStat("b", "c", 1L, 2L)))
+    acc.merge(other)
+    assert(acc.value.keySet == Set(3, 4))
+    assert(acc.value(3).nPostings == 100L)
+  }
 }
