@@ -176,7 +176,11 @@ object Scaling {
       vfsidx.build.IndexBuild.build(spark, corpus, dir,
         vfsidx.build.IndexBuild.BuildConfig(
           numBatches = sys.env.getOrElse("GRAFT_SCALE_BATCHES", "1").toInt,
-          numBuckets = 32,
+          // IDENTICAL across legs (plan constant). Default one task per max
+          // core; GRAFT_SCALE_BUCKETS=128 gives 2-4 small waves per leg —
+          // guide §2.6: finer reduce tasks smooth stragglers, so a steal
+          // burst delays a sliver of the wave instead of gating all of it
+          numBuckets = sys.env.getOrElse("GRAFT_SCALE_BUCKETS", "32").toInt,
           saltThreshold = nDocs / 10, shardSize = 4096))
       val buildSec = (System.nanoTime() - t0) / 1e9
       val idx = new vfsidx.query.Bm25Index(spark, dir)
